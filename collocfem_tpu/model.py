@@ -1,0 +1,65 @@
+"""Model layer (L3): ODE dynamics, output maps, costs, constraints.
+
+Capability parity target: the reference's per-problem model definitions
+(SURVEY.md §1 L3, §2a "Model codegen").  The reference lineage generates
+f/h and their first/second derivatives via symbolic codegen (sympy ->
+numpy); here every derivative comes from JAX AD (``jacfwd`` per element,
+BASELINE.json north_star), so a model is just a set of **pure JAX
+functions** — no codegen step, no sparsity tables to hand-maintain.
+
+Conventions:
+  x: (nx,) state          u: (nu,) input (may be empty)
+  p: (nq,) parameters     t: scalar time
+All functions must be traceable (jnp only, no Python branching on values).
+Model instances are static pytree-free objects captured in jit closures;
+they must be cheap to hash/compare by identity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class Model:
+    """Base class for collocation models.
+
+    Subclasses must set ``nx``, ``nu``, ``nq`` and implement ``f``.  The
+    output map ``h`` defaults to full state observation.  ``g`` (inequality
+    path constraints, g <= 0) and ``running_cost`` are optional and are used
+    by the trajectory-optimization solver (SURVEY.md §3.3).
+    """
+
+    nx: int = 0  # number of states
+    nu: int = 0  # number of exogenous/decision inputs
+    nq: int = 0  # number of unknown parameters
+    ng: int = 0  # number of inequality path constraints
+
+    def f(self, x, u, p, t):
+        """State derivative dx/dt. Returns (nx,)."""
+        raise NotImplementedError
+
+    def h(self, x, u, p, t):
+        """Measured output. Returns (ny,). Defaults to full state."""
+        del u, p, t
+        return x
+
+    @property
+    def ny(self) -> int:
+        if not hasattr(self, "_ny"):
+            import numpy as np
+
+            zx = jnp.zeros(self.nx)
+            zu = jnp.zeros(self.nu)
+            zp = jnp.zeros(self.nq)
+            object.__setattr__(self, "_ny", int(np.shape(self.h(zx, zu, zp, 0.0))[0]))
+        return self._ny
+
+    def g(self, x, u, p, t):
+        """Inequality path constraints, enforced as g(...) <= 0. Returns (ng,)."""
+        del x, u, p, t
+        return jnp.zeros((0,))
+
+    def running_cost(self, x, u, p, t):
+        """Integrand of the running cost for trajectory optimization."""
+        del x, u, p, t
+        return jnp.zeros(())
