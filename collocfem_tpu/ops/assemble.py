@@ -1,0 +1,133 @@
+"""Gauss-Newton assembly: per-element jacfwd -> block-tridiagonal + arrowhead.
+
+Capability parity target: the reference's Jacobian/Hessian assembly into a
+global sparse matrix (SURVEY.md §2a "Jacobian/Hessian assembly"; BASELINE.json
+north_star: "jacfwd with exploited block-banded sparsity, materialized
+directly into a block-tridiagonal/arrowhead KKT structure").
+
+Block layout (see collocfem_tpu.ops.mesh): nodes are padded to K*d (K=N+1
+blocks of d nodes); element e touches block e plus the first node of block
+e+1, so the state Hessian is block tridiagonal with uniform (d*nv, d*nv)
+blocks — static shapes, no COO/CSC triplets, no host round-trips.  The
+parameter "arrowhead" is kept as a separate (K, bd, nq) strip + (nq, nq)
+corner and eliminated by a Schur complement in the solver.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BlockTriSystem(NamedTuple):
+    """Damped GN normal equations  [[A, B], [B^T, C]] [dx, dp] = -[gx, gp].
+
+    A is block tridiagonal: diagonal blocks ``D`` (K, bd, bd) and
+    super-diagonal coupling ``E`` (K, bd, bd) with A[k, k+1] = E[k]
+    (E[K-1] = 0).  ``B`` (K, bd, nq) is the parameter strip, ``C`` (nq, nq)
+    the parameter corner; ``gx`` (K, bd), ``gp`` (nq,) the gradient.
+    """
+
+    D: jnp.ndarray
+    E: jnp.ndarray
+    B: jnp.ndarray
+    C: jnp.ndarray
+    gx: jnp.ndarray
+    gp: jnp.ndarray
+
+    @property
+    def num_blocks(self) -> int:
+        return self.D.shape[0]
+
+    @property
+    def block_size(self) -> int:
+        return self.D.shape[1]
+
+
+def assemble_gn(problem, z, data) -> BlockTriSystem:
+    """Assemble the Gauss-Newton system at iterate ``z``.
+
+    Per element: residual r_e and Jacobians (J_x (m, (d+1)nv), J_p (m, nq))
+    via vmapped jacfwd; dense normal-equation blocks J^T J / J^T r are formed
+    on the MXU and scattered with static index maps.
+    """
+    mesh, model = problem.mesh, problem.model
+    n, d, nv, nq = mesh.num_elements, mesh.degree, problem.nv, model.nq
+    k, bd, s = n + 1, d * nv, (d + 1) * nv
+    nx = model.nx
+
+    xe = problem.gather_elements(z.V)  # (N, s)
+    ed = problem._elem_data(data)
+
+    def per_elem(xe_flat, edata):
+        r = problem.elem_residual(xe_flat, z.p, edata)
+        jx, jp = jax.jacfwd(problem.elem_residual, argnums=(0, 1))(
+            xe_flat, z.p, edata
+        )
+        return r, jx, jp
+
+    r, jx, jp = jax.vmap(per_elem, in_axes=(0, 0))(xe, ed)
+    # Dense per-element normal-equation blocks (MXU work).
+    hxx = jnp.einsum("emi,emj->eij", jx, jx)          # (N, s, s)
+    hxp = jnp.einsum("emi,emq->eiq", jx, jp)          # (N, s, nq)
+    hpp = jnp.einsum("emq,emr->qr", jp, jp)           # (nq, nq)
+    gxe = jnp.einsum("emi,em->ei", jx, r)             # (N, s)
+    gpe = jnp.einsum("emq,em->q", jp, r)              # (nq,)
+
+    idx = jnp.arange(n)
+    dtype = z.V.dtype
+
+    D = jnp.zeros((k, bd, bd), dtype)
+    D = D.at[idx].add(hxx[:, :bd, :bd])
+    D = D.at[idx + 1, :nv, :nv].add(hxx[:, bd:, bd:])
+    E = jnp.zeros((k, bd, bd), dtype)
+    E = E.at[idx, :, :nv].add(hxx[:, :bd, bd:])
+    B = jnp.zeros((k, bd, nq), dtype)
+    B = B.at[idx].add(hxp[:, :bd, :])
+    B = B.at[idx + 1, :nv, :].add(hxp[:, bd:, :])
+    gx = jnp.zeros((k, bd), dtype)
+    gx = gx.at[idx].add(gxe[:, :bd])
+    gx = gx.at[idx + 1, :nv].add(gxe[:, bd:])
+
+    # Priors: parameter prior -> corner; x0 prior -> first nx of block 0.
+    pw2 = data.p_w**2
+    C = hpp + jnp.diag(pw2)
+    gp = gpe + pw2 * (z.p - data.p_prior)
+    x0w2 = data.x0_w**2
+    D = D.at[0, jnp.arange(nx), jnp.arange(nx)].add(x0w2)
+    gx = gx.at[0, :nx].add(x0w2 * (z.V[0, :nx] - data.x0_prior))
+
+    # Identity on the d-1 trailing pad nodes (block K-1, local nodes 1..d-1)
+    # so the padded system stays SPD; their solution/gradient is exactly 0.
+    pad = jnp.arange(nv, bd)
+    D = D.at[k - 1, pad, pad].add(1.0)
+
+    return BlockTriSystem(D=D, E=E, B=B, C=C, gx=gx, gp=gp)
+
+
+def materialize_dense(sys: BlockTriSystem) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand to a dense (K*bd+nq)^2 matrix + gradient (tests / tiny meshes)."""
+    k, bd = sys.num_blocks, sys.block_size
+    nq = sys.C.shape[0]
+    n = k * bd + nq
+    H = jnp.zeros((n, n), sys.D.dtype)
+    for i in range(k):
+        sl = slice(i * bd, (i + 1) * bd)
+        H = H.at[sl, sl].set(sys.D[i])
+        if i + 1 < k:
+            s2 = slice((i + 1) * bd, (i + 2) * bd)
+            H = H.at[sl, s2].set(sys.E[i])
+            H = H.at[s2, sl].set(sys.E[i].T)
+        H = H.at[sl, k * bd :].set(sys.B[i])
+        H = H.at[k * bd :, sl].set(sys.B[i].T)
+    H = H.at[k * bd :, k * bd :].set(sys.C)
+    g = jnp.concatenate([sys.gx.ravel(), sys.gp])
+    return H, g
+
+
+def blocks_to_nodes(dx_blocks: jnp.ndarray, num_nodes: int, nv: int) -> jnp.ndarray:
+    """(K, bd) block-stacked solution -> (M, nv) real node values."""
+    k, bd = dx_blocks.shape
+    return dx_blocks.reshape(k * (bd // nv), nv)[:num_nodes]

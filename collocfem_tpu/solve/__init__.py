@@ -1,0 +1,27 @@
+"""Solver layer (L5): block-structured KKT solves + on-device outer loops
+(SURVEY.md §1 L5, §2b: the TPU-native replacement for scipy/UMFPACK sparse
+factorization and for IPOPT on inequality-constrained problems)."""
+
+from collocfem_tpu.solve.blocktri import (
+    blocktri_solve_cr,
+    blocktri_solve_dense,
+    blocktri_solve_scan,
+)
+from collocfem_tpu.solve.kkt import solve_kkt
+from collocfem_tpu.solve.newton import (
+    SolverOptions,
+    SolveStats,
+    gauss_newton,
+    make_gn_solver,
+)
+
+__all__ = [
+    "blocktri_solve_cr",
+    "blocktri_solve_scan",
+    "blocktri_solve_dense",
+    "solve_kkt",
+    "SolverOptions",
+    "SolveStats",
+    "gauss_newton",
+    "make_gn_solver",
+]

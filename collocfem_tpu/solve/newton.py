@@ -1,0 +1,160 @@
+"""Fully on-device Gauss-Newton / Levenberg-Marquardt driver.
+
+Capability parity target: the reference's Newton/GN/IRLS outer loop with
+line search / damping (SURVEY.md §2a "Newton/GN/IRLS driver", §3.1;
+BASELINE.json north_star: "line-search/damping logic runs jit-compiled with
+lax.while_loop so the full estimation loop stays on-device").
+
+The whole solve — assemble, factorize, step, accept/reject, convergence —
+is a single ``lax.while_loop`` under jit: zero host round-trips per
+iteration.  Per-iteration diagnostics are written into a fixed-size history
+array (SURVEY.md §5 "Metrics / logging": a returned per-iteration table,
+masked by iteration count, plus optional jax.debug.print tracing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from collocfem_tpu.ops.assemble import assemble_gn, blocks_to_nodes
+from collocfem_tpu.problem import Decision
+from collocfem_tpu.solve.kkt import solve_kkt
+
+HISTORY_COLS = ("cost", "grad_norm", "lam", "step_norm", "accepted")
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Static solver configuration (plain dataclass per SURVEY.md §5
+    "Config / flag system": no gin/hydra)."""
+
+    maxiter: int = 50
+    gtol: float = 1e-10
+    ftol: float = 0.0
+    xtol: float = 0.0
+    lam0: float = 1e-3
+    lam_up: float = 5.0
+    lam_down: float = 0.2
+    lam_min: float = 1e-14
+    lam_max: float = 1e12
+    method: str = "cr"       # 'cr' | 'scan' | 'dense' | 'dense_full'
+    verbose: bool = False
+    irls_delta: float = 0.0  # >0 enables Huber IRLS reweighting (reserved)
+
+
+class SolveStats(NamedTuple):
+    iterations: jnp.ndarray  # () int
+    converged: jnp.ndarray   # () bool
+    cost: jnp.ndarray        # () final cost
+    grad_norm: jnp.ndarray   # () final gradient inf-norm
+    lam: jnp.ndarray         # () final damping
+    history: jnp.ndarray     # (maxiter, 5) per-iteration table
+
+
+class _LoopState(NamedTuple):
+    z: Decision
+    cost: jnp.ndarray
+    lam: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    gnorm: jnp.ndarray
+    history: jnp.ndarray
+
+
+def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
+    """Build a jitted ``solve(z0, data) -> (z, SolveStats)`` for ``problem``.
+
+    The returned function is traced once per (shapes, options) and can be
+    vmapped over a batch axis of (z0, data) for multi-experiment estimation
+    (BASELINE.json config 5).
+    """
+    opt = options
+    nv = problem.nv
+    num_nodes = problem.num_nodes
+
+    @jax.jit
+    def solve(z0: Decision, data):
+        def body(st: _LoopState) -> _LoopState:
+            sys = assemble_gn(problem, st.z, data)
+            gnorm = jnp.maximum(
+                jnp.max(jnp.abs(sys.gx)), jnp.max(jnp.abs(sys.gp), initial=0.0)
+            )
+            dx, dp = solve_kkt(sys, st.lam, opt.method)
+            dV = blocks_to_nodes(dx, num_nodes, nv)
+            z_try = Decision(V=st.z.V + dV, p=st.z.p + dp)
+            c_try = problem.cost(z_try, data)
+            step_norm = jnp.sqrt(jnp.sum(dV * dV) + jnp.sum(dp * dp))
+            accept = jnp.isfinite(c_try) & (c_try < st.cost)
+
+            z_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), z_try, st.z
+            )
+            cost_new = jnp.where(accept, c_try, st.cost)
+            lam_new = jnp.where(
+                accept,
+                jnp.maximum(st.lam * opt.lam_down, opt.lam_min),
+                jnp.minimum(st.lam * opt.lam_up, opt.lam_max),
+            )
+            rel_drop = (st.cost - c_try) / jnp.maximum(st.cost, 1e-300)
+            done = (
+                (gnorm < opt.gtol)
+                | (accept & (opt.ftol > 0.0) & (rel_drop < opt.ftol))
+                | ((opt.xtol > 0.0) & accept & (step_norm < opt.xtol))
+            )
+            hist = st.history.at[st.it].set(
+                jnp.stack(
+                    [
+                        st.cost,
+                        gnorm,
+                        st.lam,
+                        step_norm,
+                        accept.astype(st.cost.dtype),
+                    ]
+                )
+            )
+            if opt.verbose:
+                jax.debug.print(
+                    "it={it}  cost={c:.6e}  |g|={g:.3e}  lam={l:.3e}  "
+                    "step={s:.3e}  accept={a}",
+                    it=st.it, c=st.cost, g=gnorm, l=st.lam, s=step_norm,
+                    a=accept,
+                )
+            return _LoopState(
+                z=z_new, cost=cost_new, lam=lam_new, it=st.it + 1, done=done,
+                gnorm=gnorm, history=hist,
+            )
+
+        dtype = z0.V.dtype
+        c0 = problem.cost(z0, data)
+        st0 = _LoopState(
+            z=z0,
+            cost=c0,
+            lam=jnp.asarray(opt.lam0, dtype),
+            it=jnp.asarray(0, jnp.int32),
+            done=jnp.asarray(False),
+            gnorm=jnp.asarray(jnp.inf, dtype),
+            history=jnp.zeros((opt.maxiter, len(HISTORY_COLS)), dtype),
+        )
+        st = jax.lax.while_loop(
+            lambda s: (~s.done) & (s.it < opt.maxiter), body, st0
+        )
+        stats = SolveStats(
+            iterations=st.it,
+            converged=st.done,
+            cost=st.cost,
+            grad_norm=st.gnorm,
+            lam=st.lam,
+            history=st.history,
+        )
+        return st.z, stats
+
+    return solve
+
+
+def gauss_newton(problem, z0, data, options: SolverOptions = SolverOptions()):
+    """One-shot convenience wrapper around :func:`make_gn_solver`."""
+    return make_gn_solver(problem, options)(z0, data)
