@@ -46,6 +46,52 @@ class BlockTriSystem(NamedTuple):
         return self.D.shape[1]
 
 
+def scatter_gn_blocks(hxx, hxp, hpp, gxe, gpe, *, num_blocks, nv, overlap, dtype):
+    """Scatter per-element dense GN blocks into the block-tri + arrowhead form.
+
+    Element ``e`` owns block ``e`` (its first ``bd = s - overlap`` local
+    variables) and the leading ``overlap`` variables of block ``e+1`` (the
+    shared boundary node).  Shared machinery for estimation *and* optimal
+    control assembly.
+
+    Args:
+      hxx: (N, s, s) per-element J^T J with s = bd + overlap.
+      hxp: (N, s, nq) element-parameter coupling.
+      hpp: (nq, nq) parameter block (already summed).
+      gxe: (N, s) per-element gradient.
+      gpe: (nq,) parameter gradient (already summed).
+      num_blocks: K = N + 1.
+      nv: variables per node.
+      overlap: number of trailing element variables shared with block e+1
+        (= nv for C^0 node sharing).
+    Returns:
+      BlockTriSystem with zero C-corner priors (caller adds priors/damping).
+    """
+    n, s, _ = hxx.shape
+    k = num_blocks
+    bd = s - overlap
+    nq = hxp.shape[-1]
+    idx = jnp.arange(n)
+
+    D = jnp.zeros((k, bd, bd), dtype)
+    D = D.at[idx].add(hxx[:, :bd, :bd])
+    D = D.at[idx + 1, :overlap, :overlap].add(hxx[:, bd:, bd:])
+    E = jnp.zeros((k, bd, bd), dtype)
+    E = E.at[idx, :, :overlap].add(hxx[:, :bd, bd:])
+    B = jnp.zeros((k, bd, nq), dtype)
+    B = B.at[idx].add(hxp[:, :bd, :])
+    B = B.at[idx + 1, :overlap, :].add(hxp[:, bd:, :])
+    gx = jnp.zeros((k, bd), dtype)
+    gx = gx.at[idx].add(gxe[:, :bd])
+    gx = gx.at[idx + 1, :overlap].add(gxe[:, bd:])
+
+    # Identity on the trailing pad entries of the last block so the padded
+    # system stays SPD; their solution/gradient is exactly 0.
+    pad = jnp.arange(overlap, bd)
+    D = D.at[k - 1, pad, pad].add(1.0)
+    return BlockTriSystem(D=D, E=E, B=B, C=hpp, gx=gx, gp=gpe)
+
+
 def assemble_gn(problem, z, data) -> BlockTriSystem:
     """Assemble the Gauss-Newton system at iterate ``z``.
 
@@ -76,35 +122,20 @@ def assemble_gn(problem, z, data) -> BlockTriSystem:
     gxe = jnp.einsum("emi,em->ei", jx, r)             # (N, s)
     gpe = jnp.einsum("emq,em->q", jp, r)              # (nq,)
 
-    idx = jnp.arange(n)
     dtype = z.V.dtype
-
-    D = jnp.zeros((k, bd, bd), dtype)
-    D = D.at[idx].add(hxx[:, :bd, :bd])
-    D = D.at[idx + 1, :nv, :nv].add(hxx[:, bd:, bd:])
-    E = jnp.zeros((k, bd, bd), dtype)
-    E = E.at[idx, :, :nv].add(hxx[:, :bd, bd:])
-    B = jnp.zeros((k, bd, nq), dtype)
-    B = B.at[idx].add(hxp[:, :bd, :])
-    B = B.at[idx + 1, :nv, :].add(hxp[:, bd:, :])
-    gx = jnp.zeros((k, bd), dtype)
-    gx = gx.at[idx].add(gxe[:, :bd])
-    gx = gx.at[idx + 1, :nv].add(gxe[:, bd:])
+    sys = scatter_gn_blocks(
+        hxx, hxp, hpp, gxe, gpe, num_blocks=k, nv=nv, overlap=nv, dtype=dtype
+    )
 
     # Priors: parameter prior -> corner; x0 prior -> first nx of block 0.
     pw2 = data.p_w**2
-    C = hpp + jnp.diag(pw2)
-    gp = gpe + pw2 * (z.p - data.p_prior)
+    C = sys.C + jnp.diag(pw2)
+    gp = sys.gp + pw2 * (z.p - data.p_prior)
     x0w2 = data.x0_w**2
-    D = D.at[0, jnp.arange(nx), jnp.arange(nx)].add(x0w2)
-    gx = gx.at[0, :nx].add(x0w2 * (z.V[0, :nx] - data.x0_prior))
+    D = sys.D.at[0, jnp.arange(nx), jnp.arange(nx)].add(x0w2)
+    gx = sys.gx.at[0, :nx].add(x0w2 * (z.V[0, :nx] - data.x0_prior))
 
-    # Identity on the d-1 trailing pad nodes (block K-1, local nodes 1..d-1)
-    # so the padded system stays SPD; their solution/gradient is exactly 0.
-    pad = jnp.arange(nv, bd)
-    D = D.at[k - 1, pad, pad].add(1.0)
-
-    return BlockTriSystem(D=D, E=E, B=B, C=C, gx=gx, gp=gp)
+    return BlockTriSystem(D=D, E=sys.E, B=sys.B, C=C, gx=gx, gp=gp)
 
 
 def materialize_dense(sys: BlockTriSystem) -> tuple[jnp.ndarray, jnp.ndarray]:
