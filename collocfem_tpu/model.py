@@ -60,6 +60,25 @@ class Model:
         return jnp.zeros((0,))
 
     def running_cost(self, x, u, p, t):
-        """Integrand of the running cost for trajectory optimization."""
+        """Integrand of the running cost for trajectory optimization.
+
+        Defaults to ``0.5 * ||running_cost_residual||^2`` so subclasses only
+        define the residual form (which the Gauss-Newton OCP solver needs).
+        """
+        r = self.running_cost_residual(x, u, p, t)
+        return 0.5 * jnp.sum(r * r)
+
+    def running_cost_residual(self, x, u, p, t):
+        """Running cost in least-squares form: cost = 0.5 ||r||^2.
+
+        Returns (nl,).  The trajectory-optimization solver (solve.auglag)
+        consumes this form so the running cost joins the Gauss-Newton system
+        like any other residual group.
+        """
         del x, u, p, t
-        return jnp.zeros(())
+        return jnp.zeros((0,))
+
+    def terminal_cost_residual(self, x, p):
+        """Terminal (Mayer) cost in least-squares form: 0.5 ||r||^2 at t_f."""
+        del x, p
+        return jnp.zeros((0,))

@@ -44,6 +44,6 @@ class Pendulum(Model):
         del x, p, t
         return jnp.stack([u[0] - self.u_max, -u[0] - self.u_max])
 
-    def running_cost(self, x, u, p, t):
+    def running_cost_residual(self, x, u, p, t):
         del x, p, t
-        return 0.5 * self.effort_weight * u[0] ** 2
+        return jnp.sqrt(self.effort_weight) * u

@@ -136,6 +136,33 @@ class Mesh:
         return e, self.basis.interp_rows(tau)
 
 
+def interpolate_trajectory(mesh: Mesh, V, times, derivative: bool = False):
+    """Evaluate the piecewise collocation polynomial (and optionally d/dt).
+
+    Args:
+      mesh: the collocation mesh.
+      V: (M, n) global node values (numpy or jax array).
+      times: (T,) physical evaluation times.
+      derivative: also return dV/dt at ``times``.
+    Returns:
+      (T, n) values, or a tuple (values, derivatives).
+    """
+    import jax.numpy as jnp
+
+    e, rows = mesh.interp_rows(times)
+    Ve = jnp.asarray(V)[mesh.elem_node_idx[e]]          # (T, d+1, n)
+    rows = jnp.asarray(rows, Ve.dtype)
+    vals = jnp.einsum("tj,tjn->tn", rows, Ve)
+    if not derivative:
+        return vals
+    # p' at the nodes is D @ p (exact for degree <= d); interpolate those.
+    diff = jnp.asarray(mesh.basis.diff, Ve.dtype)
+    dVe = jnp.einsum("kj,tjn->tkn", diff, Ve)
+    scale = jnp.asarray(2.0 / mesh.widths[e], Ve.dtype)[:, None]
+    derivs = jnp.einsum("tj,tjn->tn", rows, dVe) * scale
+    return vals, derivs
+
+
 def uniform_mesh(t0: float, tf: float, num_elements: int, degree: int) -> Mesh:
     """Uniform mesh over [t0, tf] with ``num_elements`` degree-``degree`` elements."""
     return Mesh(

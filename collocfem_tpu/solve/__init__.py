@@ -2,6 +2,12 @@
 (SURVEY.md §1 L5, §2b: the TPU-native replacement for scipy/UMFPACK sparse
 factorization and for IPOPT on inequality-constrained problems)."""
 
+from collocfem_tpu.solve.auglag import (
+    ALBarrierOptions,
+    OCPStats,
+    make_ocp_solver,
+    solve_ocp,
+)
 from collocfem_tpu.solve.blocktri import (
     blocktri_solve_cr,
     blocktri_solve_dense,
@@ -24,4 +30,8 @@ __all__ = [
     "SolveStats",
     "gauss_newton",
     "make_gn_solver",
+    "ALBarrierOptions",
+    "OCPStats",
+    "make_ocp_solver",
+    "solve_ocp",
 ]
