@@ -26,19 +26,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from collocfem_tpu.ops import smallblocks
 
-def _tri_solve(L, B, trans=False):
-    """Batched lower-triangular solve; trans=True solves L^T X = B."""
-    if trans:
-        return jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(L, -1, -2), B, lower=False
-        )
-    return jax.scipy.linalg.solve_triangular(L, B, lower=True)
-
-
-def _chol_solve(L, B):
-    """Batched SPD solve given lower Cholesky factors."""
-    return _tri_solve(L, _tri_solve(L, B), trans=True)
+# Batched tiny-block primitives: unrolled over the (static, small) block
+# dimension so each factorization is pure fused VPU work over the K-batch
+# (collocfem_tpu.ops.smallblocks; SURVEY.md §7 hard part 1).
+_cholesky = smallblocks.chol
+_chol_solve = smallblocks.chol_solve
 
 
 def _mm(a, b):
@@ -75,9 +69,9 @@ def blocktri_solve_scan(D, E, G):
     """O(K)-depth block LDL^T forward/backward recursion with lax.scan."""
     k = D.shape[0]
     if k == 1:
-        return _chol_solve(jnp.linalg.cholesky(D[0]), G[0])[None]
+        return _chol_solve(_cholesky(D[0]), G[0])[None]
 
-    l0 = jnp.linalg.cholesky(D[0])
+    l0 = _cholesky(D[0])
 
     def fwd(carry, inp):
         l_prev, y_prev = carry
@@ -85,7 +79,7 @@ def blocktri_solve_scan(D, E, G):
         w = _chol_solve(l_prev, e_prev)          # U_{i-1}^{-1} E_{i-1}
         u_i = d_i - _mtm(e_prev, w)              # D_i - E^T U^{-1} E
         y_i = g_i - _mtm(w, y_prev)              # g_i - (U^{-1}E)^T y_{i-1}
-        l_i = jnp.linalg.cholesky(u_i)
+        l_i = _cholesky(u_i)
         return (l_i, y_i), (l_i, y_i)
 
     (_, _), (ls, ys) = jax.lax.scan(fwd, (l0, G[0]), (D[1:], E[:-1], G[1:]))
@@ -120,14 +114,13 @@ def _pad_pow2(D, E, G):
     return D, E, G
 
 
-def blocktri_solve_cr(D, E, G):
-    """Pivot-free SPD block cyclic reduction (even-odd elimination).
+def blocktri_solve_cr_unrolled(D, E, G):
+    """Cyclic reduction with Python-unrolled levels (distinct shapes).
 
-    Each level eliminates the odd-indexed blocks in one *batched* Cholesky +
-    pair of triangular solves, halving the system; back-substitution retraces
-    the levels.  log2(K) levels total.  The even-odd permutation of an SPD
-    block-tridiagonal matrix stays SPD at every level, so no pivoting is
-    needed (SURVEY.md §7 hard part 1).
+    Reference implementation for :func:`blocktri_solve_cr`: identical math,
+    but every one of the log2(K) levels is traced at its own (halved) shape,
+    which makes XLA:TPU compile time explode at large K.  Kept for testing
+    and small-K use.
     """
     squeeze = G.ndim == 2
     if squeeze:
@@ -140,7 +133,7 @@ def blocktri_solve_cr(D, E, G):
     while k > 1:
         d_odd, g_odd = D[1::2], G[1::2]
         e_up, e_lo = E[0::2], E[1::2]           # even->odd, odd->next even
-        l_odd = jnp.linalg.cholesky(d_odd)
+        l_odd = _cholesky(d_odd)
         s_up = _chol_solve(l_odd, jnp.swapaxes(e_up, -1, -2))  # Dodd^{-1} Eup^T
         s_lo = _chol_solve(l_odd, e_lo)                         # Dodd^{-1} Elo
         s_g = _chol_solve(l_odd, g_odd)                         # Dodd^{-1} g_odd
@@ -155,7 +148,7 @@ def blocktri_solve_cr(D, E, G):
         D, E, G = d_new, e_new, g_new
         k //= 2
 
-    x = _chol_solve(jnp.linalg.cholesky(D[0]), G[0])[None]
+    x = _chol_solve(_cholesky(D[0]), G[0])[None]
 
     for l_odd, e_up, e_lo, g_odd in reversed(stack):
         x_right = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])])
@@ -169,8 +162,99 @@ def blocktri_solve_cr(D, E, G):
     return x[..., 0] if squeeze else x
 
 
+def blocktri_solve_cr(D, E, G):
+    """Pivot-free SPD block cyclic reduction, fixed-shape / single-trace.
+
+    Each level eliminates the odd-indexed blocks in one *batched* Cholesky +
+    triangular solves, halving the active chain; back-substitution retraces
+    the levels.  The even-odd permutation of an SPD block-tridiagonal matrix
+    stays SPD at every level, so no pivoting is needed (SURVEY.md §7 hard
+    part 1).
+
+    TPU-first trick: the active blocks always live in a *contiguous prefix*
+    of full-size (K, b, b) buffers whose tail is padded with identity
+    diagonal / zero coupling — an exact fixed point of the CR update — so
+    every level runs the SAME static-shape computation and the whole sweep
+    is two ``lax.fori_loop``s whose body is traced ONCE.  Compile time is
+    O(1) in K (the Python-unrolled variant is O(log K) distinct-shape levels
+    and blows up XLA:TPU compilation at K ~ 10^4); runtime does O(K log K)
+    work instead of O(K), a non-issue for this bandwidth-bound sweep.
+    """
+    squeeze = G.ndim == 2
+    if squeeze:
+        G = G[..., None]
+    k0, b, _ = D.shape
+    r = G.shape[-1]
+    D, E, G = _pad_pow2(D, E, G)
+    k = D.shape[0]
+    if k == 1:
+        x = _chol_solve(_cholesky(D[0]), G[0])[None][:k0]
+        return x[..., 0] if squeeze else x
+    levels = k.bit_length() - 1  # log2(k)
+    dtype = D.dtype
+    half = k // 2
+    eye = jnp.broadcast_to(jnp.eye(b, dtype=dtype), (half, b, b))
+
+    def fwd(l, carry):
+        D, E, G, st_l, st_eu, st_el, st_g = carry
+        d_odd, g_odd = D[1::2], G[1::2]
+        e_up, e_lo = E[0::2], E[1::2]
+        l_odd = _cholesky(d_odd)
+        s_up = _chol_solve(l_odd, jnp.swapaxes(e_up, -1, -2))
+        s_lo = _chol_solve(l_odd, e_lo)
+        s_g = _chol_solve(l_odd, g_odd)
+
+        d_new = D[0::2] - _mm(e_up, s_up)
+        d_new = d_new.at[1:].add(-_mtm(e_lo, s_lo)[:-1])
+        g_new = G[0::2] - _mm(e_up, s_g)
+        g_new = g_new.at[1:].add(-_mtm(e_lo, s_g)[:-1])
+        e_new = -_mm(e_up, s_lo)
+
+        st_l = jax.lax.dynamic_update_index_in_dim(st_l, l_odd, l, 0)
+        st_eu = jax.lax.dynamic_update_index_in_dim(st_eu, e_up, l, 0)
+        st_el = jax.lax.dynamic_update_index_in_dim(st_el, e_lo, l, 0)
+        st_g = jax.lax.dynamic_update_index_in_dim(st_g, g_odd, l, 0)
+
+        # Re-pad to full K: the eliminated tail becomes identity/zero,
+        # which the next level's update maps to identity/zero again.
+        D = jnp.concatenate([d_new, eye])
+        E = jnp.concatenate([e_new, jnp.zeros((half, b, b), dtype)])
+        G = jnp.concatenate([g_new, jnp.zeros((half, b, r), dtype)])
+        return D, E, G, st_l, st_eu, st_el, st_g
+
+    stacks = (
+        jnp.zeros((levels, half, b, b), dtype),
+        jnp.zeros((levels, half, b, b), dtype),
+        jnp.zeros((levels, half, b, b), dtype),
+        jnp.zeros((levels, half, b, r), dtype),
+    )
+    D, E, G, st_l, st_eu, st_el, st_g = jax.lax.fori_loop(
+        0, levels, fwd, (D, E, G) + stacks
+    )
+
+    x0 = _chol_solve(_cholesky(D[0]), G[0])
+    X = jnp.zeros((k, b, r), dtype).at[0].set(x0)
+
+    def bwd(i, X):
+        l = levels - 1 - i
+        l_odd = jax.lax.dynamic_index_in_dim(st_l, l, 0, keepdims=False)
+        e_up = jax.lax.dynamic_index_in_dim(st_eu, l, 0, keepdims=False)
+        e_lo = jax.lax.dynamic_index_in_dim(st_el, l, 0, keepdims=False)
+        g_odd = jax.lax.dynamic_index_in_dim(st_g, l, 0, keepdims=False)
+        x_ev = X[:half]
+        x_right = jnp.concatenate([x_ev[1:], jnp.zeros_like(x_ev[:1])])
+        rhs = g_odd - _mtm(e_up, x_ev) - _mm(e_lo, x_right)
+        x_odd = _chol_solve(l_odd, rhs)
+        return jnp.stack([x_ev, x_odd], axis=1).reshape(k, b, r)
+
+    X = jax.lax.fori_loop(0, levels, bwd, X)
+    X = X[:k0]
+    return X[..., 0] if squeeze else X
+
+
 SOLVERS = {
     "cr": blocktri_solve_cr,
+    "cr_unrolled": blocktri_solve_cr_unrolled,
     "scan": blocktri_solve_scan,
     "dense": blocktri_solve_dense,
 }

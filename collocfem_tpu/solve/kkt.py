@@ -15,14 +15,50 @@ from collocfem_tpu.ops.assemble import BlockTriSystem, materialize_dense
 from collocfem_tpu.solve.blocktri import SOLVERS
 
 
+def _equilibrate(sys: BlockTriSystem, lam):
+    """Symmetric Jacobi scaling of the damped KKT system.
+
+    The collocation Hessian mixes O((2/h D)^2) defect curvature with O(1)
+    measurement rows — condition numbers of 1e7+ that swamp float32 (the
+    TPU-native working precision; SURVEY.md §7 hard part 4).  Scaling by
+    S = diag(damped H)^(-1/2) brings the diagonal to exactly 1; the scaled
+    Schur complements stay SPD and the float32 factorization error drops by
+    orders of magnitude.  Cost: O(K b^2) elementwise — negligible next to
+    the factorization.
+    """
+    bd = sys.block_size
+    nq = sys.C.shape[0]
+    eye_b = jnp.eye(bd, dtype=sys.D.dtype)
+    d_damped = sys.D + lam * eye_b
+    sx = jnp.sqrt(jnp.einsum("kii->ki", d_damped))          # (K, bd)
+    inv_sx = 1.0 / sx
+    D = d_damped * inv_sx[:, :, None] * inv_sx[:, None, :]  # unit diagonal
+    E = sys.E[:-1] * inv_sx[:-1, :, None] * inv_sx[1:, None, :]
+    E = jnp.concatenate([E, sys.E[-1:]], axis=0)            # E[K-1] unused/0
+    gx = sys.gx * inv_sx
+    if nq:
+        c_damped = sys.C + lam * jnp.eye(nq, dtype=sys.C.dtype)
+        sp = jnp.sqrt(jnp.diag(c_damped))
+        inv_sp = 1.0 / sp
+        B = sys.B * inv_sx[:, :, None] * inv_sp[None, None, :]
+        C = c_damped * inv_sp[:, None] * inv_sp[None, :]
+        gp = sys.gp * inv_sp
+    else:
+        inv_sp = jnp.zeros((0,), sys.D.dtype)
+        B, C, gp = sys.B, sys.C, sys.gp
+    scaled = BlockTriSystem(D=D, E=E, B=B, C=C, gx=gx, gp=gp)
+    return scaled, inv_sx, inv_sp
+
+
 def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr"):
     """Solve [[A+lam I, B], [B^T, C+lam I]] [dx, dp] = -[gx, gp].
 
-    Returns (dx (K, bd), dp (nq,)).
+    Damping is folded into the Jacobi equilibration (the scaled system has
+    unit diagonal, so A_scaled = S A S already includes lam).  Returns
+    (dx (K, bd), dp (nq,)).
     """
     k, bd = sys.num_blocks, sys.block_size
     nq = sys.C.shape[0]
-    eye_b = jnp.eye(bd, dtype=sys.D.dtype)
 
     if method == "dense_full":
         h, g = materialize_dense(sys)
@@ -32,18 +68,17 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr"):
         return dx, d[k * bd :]
 
     solver = SOLVERS[method]
-    d_damped = sys.D + lam * eye_b
+    s, inv_sx, inv_sp = _equilibrate(sys, lam)
 
     if nq == 0:
-        dx = -solver(d_damped, sys.E, sys.gx[..., None])[..., 0]
-        return dx, jnp.zeros((0,), sys.D.dtype)
+        dx = -solver(s.D, s.E, s.gx[..., None])[..., 0]
+        return dx * inv_sx, jnp.zeros((0,), sys.D.dtype)
 
-    rhs = jnp.concatenate([sys.gx[..., None], sys.B], axis=-1)  # (K, bd, 1+nq)
-    x = solver(d_damped, sys.E, rhs)
+    rhs = jnp.concatenate([s.gx[..., None], s.B], axis=-1)  # (K, bd, 1+nq)
+    x = solver(s.D, s.E, rhs)
     a_g, a_b = x[..., 0], x[..., 1:]                # A^{-1}gx, A^{-1}B
-    c_damped = sys.C + lam * jnp.eye(nq, dtype=sys.C.dtype)
-    schur = c_damped - jnp.einsum("kbq,kbr->qr", sys.B, a_b)
-    rp = sys.gp - jnp.einsum("kbq,kb->q", sys.B, a_g)
+    schur = s.C - jnp.einsum("kbq,kbr->qr", s.B, a_b)
+    rp = s.gp - jnp.einsum("kbq,kb->q", s.B, a_g)
     dp = -jnp.linalg.solve(schur, rp)
     dx = -(a_g + jnp.einsum("kbq,q->kb", a_b, dp))
-    return dx, dp
+    return dx * inv_sx, dp * inv_sp
