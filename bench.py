@@ -1,0 +1,86 @@
+"""Headline benchmark: full Newton estimation on a 10k-element VdP mesh.
+
+BASELINE.json north_star: "full Newton estimation on a 10k-element mesh in
+< 1 s on a single chip".  Work is fixed (15 LM iterations, no early exit) to
+match baseline_cpu/run_baseline.py, which measured the scipy/SuperLU CPU
+reference on this machine; ``vs_baseline`` = CPU reference wall / this wall.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+
+Runs on the default platform (the real TPU chip when present; first compile
+20-40 s, excluded from timing).  float32 on device — the 1e-9 f64 parity
+criterion is covered separately by tests/test_baseline_parity.py on CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ITERS = 15
+ELEMENTS = int(os.environ.get("BENCH_ELEMENTS", "10000"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from baseline_cpu.run_baseline import build_headline_problem
+    from collocfem_tpu.models import VanDerPol
+    from collocfem_tpu.problem import EstimationProblem
+    from collocfem_tpu.solve import SolverOptions
+    from collocfem_tpu.solve.newton import make_gn_solver
+
+    mesh, t_meas, y, u_nodes = build_headline_problem(ELEMENTS)
+    prob = EstimationProblem.build(
+        VanDerPol(), mesh, t_meas, defect_weight=100.0
+    )
+    data = prob.pack_data(y, t_meas, u_nodes=u_nodes)
+    z0 = prob.initial_guess_from_data(t_meas, y, p0=[0.5, 0.5])
+
+    # Fixed work: exactly ITERS LM iterations (no early-exit tolerances).
+    opts = SolverOptions(maxiter=ITERS, gtol=0.0, ftol=0.0, xtol=0.0)
+    solve = make_gn_solver(prob, opts)
+
+    z, stats = solve(z0, data)          # compile + warmup
+    jax.block_until_ready(z)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        z, stats = solve(z0, data)
+        jax.block_until_ready(z)
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+
+    p = np.asarray(z.p)
+    sane = bool(np.all(np.isfinite(p))) and abs(p[0] - 1.0) < 0.1
+    if not sane:
+        print(f"WARNING: benchmark solve result suspect: p={p}", file=sys.stderr)
+
+    base_path = os.path.join(os.path.dirname(__file__), "baseline_cpu",
+                             "results.json")
+    vs = None
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            ref = json.load(fh)
+        if ref.get("config", {}).get("elements") == ELEMENTS:
+            vs = ref["newton_wall_s"] / wall
+    if vs is None:
+        vs = 1.0 / wall  # north-star target: < 1 s
+
+    print(json.dumps({
+        "metric": f"vdp_newton{ITERS}_{ELEMENTS}elem_wall",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,10 +13,15 @@ distributed strategies the reference lacks (it is a single-process CPU code).
 """
 
 from collocfem_tpu.parallel.meshes import make_device_mesh
-from collocfem_tpu.parallel.spike import blocktri_solve_spike, spike_sharded_solver
+from collocfem_tpu.parallel.spike import (
+    blocktri_solve_spike,
+    spike_chain_solver,
+    spike_sharded_solver,
+)
 
 __all__ = [
     "make_device_mesh",
     "blocktri_solve_spike",
+    "spike_chain_solver",
     "spike_sharded_solver",
 ]

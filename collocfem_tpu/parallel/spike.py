@@ -101,6 +101,35 @@ def blocktri_solve_spike(
     return jnp.concatenate([x_l[None], x_int, x_r[None]])
 
 
+def spike_chain_solver(num_blocks: int, sp_size: int, *, axis_name: str = SP_AXIS):
+    """Per-chain solver for use INSIDE a shard_map that carries ``axis_name``.
+
+    Takes *global* (K, b, b)/(K, b, r) arrays replicated over the "sp" axis
+    (e.g. assembled redundantly per shard), has each sp-rank eliminate its
+    contiguous chunk via SPIKE, and all-gathers the solution so every rank
+    returns the full (K, b, r) result.  Composes with the "dp" experiment
+    axis: pass as ``chain_solver`` to the multi-experiment solver
+    (collocfem_tpu.parallel.batch), which vmaps it over experiments.
+
+    ``num_blocks`` must be divisible by ``sp_size`` with >= 2 blocks/shard.
+    """
+    if num_blocks % sp_size:
+        raise ValueError(f"K={num_blocks} not divisible by sp={sp_size}")
+    m = num_blocks // sp_size
+    if m < 2:
+        raise ValueError("need >= 2 blocks per sp shard")
+
+    def solve(D, E, G):
+        j = jax.lax.axis_index(axis_name)
+        Dl = jax.lax.dynamic_slice_in_dim(D, j * m, m, axis=0)
+        El = jax.lax.dynamic_slice_in_dim(E, j * m, m, axis=0)
+        Gl = jax.lax.dynamic_slice_in_dim(G, j * m, m, axis=0)
+        Xl = blocktri_solve_spike(Dl, El, Gl, axis_name=axis_name)
+        return jax.lax.all_gather(Xl, axis_name, axis=0, tiled=True)
+
+    return solve
+
+
 def spike_sharded_solver(mesh, *, axis_name: str = SP_AXIS, in_blocks_axis=0):
     """Build a global-array solver sharding the chain over ``axis_name``.
 

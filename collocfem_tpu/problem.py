@@ -78,7 +78,7 @@ class ElemData(NamedTuple):
     mask: jnp.ndarray    # (S,)
     mtimes: jnp.ndarray  # (S,)
     y: jnp.ndarray       # (S, ny)
-    meas_w: jnp.ndarray  # (ny,)
+    meas_w: jnp.ndarray  # (S, ny) per-sample sqrt weights
 
 
 def group_measurements(
@@ -227,6 +227,8 @@ class EstimationProblem:
 
     # -- residuals --------------------------------------------------------------
     def _elem_data(self, data: ProblemData) -> ElemData:
+        # meas_w may be (ny,) shared or (N, S, ny) per-sample (IRLS).
+        n, s = self.mmask.shape
         return ElemData(
             width=self.widths,
             times=self.elem_times,
@@ -236,9 +238,7 @@ class EstimationProblem:
             mask=self.mmask,
             mtimes=self.mtimes,
             y=data.y,
-            meas_w=jnp.broadcast_to(
-                data.meas_w, (self.mesh.num_elements, self.model.ny)
-            ),
+            meas_w=jnp.broadcast_to(data.meas_w, (n, s, self.model.ny)),
         )
 
     def elem_residual(self, xe_flat: jnp.ndarray, p: jnp.ndarray, ed: ElemData):
@@ -274,6 +274,25 @@ class EstimationProblem:
     def cost(self, z: Decision, data: ProblemData) -> jnp.ndarray:
         r = self.residual_vector(z, data)
         return 0.5 * jnp.dot(r, r)
+
+    def measurement_residuals(self, z: Decision, data: ProblemData):
+        """Weighted per-sample measurement residuals (N, S, ny) (masked).
+
+        Used by the IRLS driver to compute robust reweighting factors.
+        """
+        ed = self._elem_data(data)
+        xe = self.gather_elements(z.V)
+        d, nx = self.mesh.degree, self.model.nx
+
+        def per_elem(xe_flat, e):
+            x_nodes = xe_flat.reshape(d + 1, self.nv)[:, :nx]
+            u_meas = res_ops.interpolate_states(e.rows, e.u)
+            return res_ops.measurement_residual(
+                self.model, e.rows, x_nodes, u_meas, z.p, e.mtimes, e.y,
+                e.meas_w, e.mask,
+            )
+
+        return jax.vmap(per_elem)(xe, ed)
 
     # -- initialization helpers -------------------------------------------------
     def initial_guess_from_data(

@@ -158,3 +158,44 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
 def gauss_newton(problem, z0, data, options: SolverOptions = SolverOptions()):
     """One-shot convenience wrapper around :func:`make_gn_solver`."""
     return make_gn_solver(problem, options)(z0, data)
+
+
+def make_irls_solver(
+    problem, options: SolverOptions = SolverOptions(), n_rounds: int = 4
+):
+    """Huber-robust estimation: iteratively reweighted Gauss-Newton.
+
+    The reference's IRLS capability (SURVEY.md §2a "Newton/GN/IRLS driver",
+    §3.4 "possibly IRLS reweighting").  Each round solves the weighted
+    least-squares problem with :func:`make_gn_solver`, then recomputes
+    per-sample Huber weights w = min(1, delta/|r|) from the *base-weighted*
+    measurement residuals, damping outliers.  ``options.irls_delta`` is the
+    Huber threshold in units of weighted residual (i.e. sigmas when
+    ``meas_weight`` is 1/sigma).
+
+    Returns ``solve(z0, data) -> (z, stats, data_weighted)``; the returned
+    ``data_weighted`` carries the final per-sample weights.
+    """
+    if options.irls_delta <= 0:
+        raise ValueError("set options.irls_delta > 0 for IRLS")
+    delta = options.irls_delta
+    inner = make_gn_solver(problem, options)
+
+    @jax.jit
+    def reweight(z, data, base_w):
+        data_base = data._replace(meas_w=base_w)
+        r = problem.measurement_residuals(z, data_base)  # (N, S, ny)
+        w = jnp.minimum(1.0, delta / jnp.maximum(jnp.abs(r), 1e-30))
+        return data._replace(meas_w=base_w * jnp.sqrt(w))
+
+    def solve(z0, data):
+        base_w = jnp.broadcast_to(
+            data.meas_w, problem.mmask.shape + (problem.model.ny,)
+        )
+        z, stats = inner(z0, data)
+        for _ in range(n_rounds):
+            data = reweight(z, data, base_w)
+            z, stats = inner(z, data)
+        return z, stats, data
+
+    return solve

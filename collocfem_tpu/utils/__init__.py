@@ -1,0 +1,13 @@
+"""Auxiliary subsystems (SURVEY.md §5): checkpointing, profiling, simulation."""
+
+from collocfem_tpu.utils.checkpoint import load_pytree, save_pytree
+from collocfem_tpu.utils.profiling import timed, trace
+from collocfem_tpu.utils.simulate import rk4_trajectory
+
+__all__ = [
+    "save_pytree",
+    "load_pytree",
+    "timed",
+    "trace",
+    "rk4_trajectory",
+]
