@@ -1,0 +1,332 @@
+"""Element-chain (time-mesh) sharded Gauss-Newton: assembly + solve over "sp".
+
+The full sequence-parallel path (SURVEY.md §2c SP/CP row, §5 "long-context"):
+the collocation elements are split into contiguous slices, one per device on
+the "sp" mesh axis.  Each device
+
+  1. evaluates residuals + jacfwd blocks ONLY for its local elements (the
+     embarrassingly parallel part — vmap inside the shard),
+  2. scatters them into its local slice of the block chain; an element on
+     the right shard edge touches the first block of the next shard, so one
+     boundary block per (D, B, gx) is shipped with a single ``ppermute`` —
+     a halo exchange, the same communication shape as ring attention /
+     context parallelism,
+  3. solves the damped, Jacobi-equilibrated system with SPIKE
+     substructuring (collocfem_tpu.parallel.spike) — one interface
+     all-gather per solve,
+  4. psum's the (nq, nq) parameter Schur pieces and the scalars (cost,
+     gradient norm) that drive the Levenberg loop.
+
+Every device steps the SAME lax.while_loop, so control flow stays
+synchronous with no extra communication.
+
+Sizing rule: K = N+1 blocks must divide by the sp axis size with >= 2
+blocks per shard.  The (single) pad block and the one dummy element that
+squares the element count live on the last shard and are masked out.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from collocfem_tpu.ops.assemble import scatter_gn_blocks
+from collocfem_tpu.parallel.meshes import SP_AXIS
+from collocfem_tpu.parallel.spike import blocktri_solve_spike
+from collocfem_tpu.problem import Decision, ProblemData
+from collocfem_tpu.solve.newton import HISTORY_COLS, SolverOptions, SolveStats
+
+
+def _halo_from_right(x, axis_name, sp):
+    """Fetch the right neighbour's value (last shard receives zeros)."""
+    return jax.lax.ppermute(
+        x, axis_name, [(i + 1, i) for i in range(sp - 1)]
+    )
+
+
+def _spill_to_right(x, axis_name, sp):
+    """Ship a value to the right neighbour (first shard receives zeros)."""
+    return jax.lax.ppermute(
+        x, axis_name, [(i, i + 1) for i in range(sp - 1)]
+    )
+
+
+class _SpState(NamedTuple):
+    V: jnp.ndarray
+    p: jnp.ndarray
+    cost: jnp.ndarray
+    lam: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    gnorm: jnp.ndarray
+    history: jnp.ndarray
+
+
+def make_sp_gn_solver(
+    problem,
+    dev_mesh,
+    options: SolverOptions = SolverOptions(),
+    *,
+    axis_name: str = SP_AXIS,
+):
+    """Single-experiment GN solver with elements sharded over ``axis_name``.
+
+    Returns a jitted ``solve(z0, data) -> (z, SolveStats)`` on GLOBAL
+    arrays; sharding is internal (shard_map over ``dev_mesh``).
+    """
+    opt = options
+    sp = dev_mesh.shape[axis_name]
+    n, d = problem.mesh.num_elements, problem.mesh.degree
+    nv, nq, nx = problem.nv, problem.model.nq, problem.model.nx
+    k, bd = n + 1, d * problem.nv
+    num_nodes = problem.num_nodes
+    if k % sp:
+        raise ValueError(f"K={k} blocks not divisible by sp={sp}")
+    mb = k // sp  # blocks (= element slots) per shard
+    if mb < 2:
+        raise ValueError("need >= 2 blocks per sp shard")
+    dtype = problem.dtype
+    elem_idx = (jnp.arange(mb)[:, None] * d + jnp.arange(d + 1)[None, :])
+
+    def local_solve(V_loc, p0, ed, data):
+        """Inside shard_map.  V_loc: (mb*d, nv) local padded node rows;
+        ed: ElemData with mb (local) elements; data: replicated priors."""
+        sidx = jax.lax.axis_index(axis_name)
+        is_first = sidx == 0
+        is_last = sidx == sp - 1
+        # Dummy-element mask: the very last element slot (on the last shard)
+        # pads the count from N to K and must not contribute.
+        emask = jnp.where(
+            is_last & (jnp.arange(mb) == mb - 1), 0.0, 1.0
+        ).astype(dtype)
+
+        def gather_local(V):
+            first = V[:1]
+            nxt = _halo_from_right(first, axis_name, sp)     # (1, nv)
+            v_ext = jnp.concatenate([V, nxt], axis=0)        # (mb*d+1, nv)
+            return v_ext, v_ext[elem_idx].reshape(mb, -1)
+
+        def local_r2(V, p):
+            """Masked sum of squared element residuals on this shard."""
+            _, xe = gather_local(V)
+            r = jax.vmap(problem.elem_residual, in_axes=(0, None, 0))(
+                xe, p, ed
+            )
+            return jnp.sum((r * emask[:, None]) ** 2)
+
+        def total_cost(V, p):
+            r2 = jax.lax.psum(local_r2(V, p), axis_name)
+            rp = data.p_w * (p - data.p_prior)
+            x0 = jax.lax.all_gather(V[:1], axis_name)[0, 0, :nx]
+            rx0 = data.x0_w * (x0 - data.x0_prior)
+            return 0.5 * (r2 + jnp.dot(rp, rp) + jnp.dot(rx0, rx0))
+
+        def assemble(V, p):
+            v_ext, xe = gather_local(V)
+
+            def per_elem(xe_flat, e):
+                r = problem.elem_residual(xe_flat, p, e)
+                jx, jp = jax.jacfwd(
+                    problem.elem_residual, argnums=(0, 1)
+                )(xe_flat, p, e)
+                return r, jx, jp
+
+            r, jx, jp = jax.vmap(per_elem)(xe, ed)
+            r = r * emask[:, None]
+            jx = jx * emask[:, None, None]
+            jp = jp * emask[:, None, None]
+
+            hxx = jnp.einsum("emi,emj->eij", jx, jx)
+            hxp = jnp.einsum("emi,emq->eiq", jx, jp)
+            hpp = jnp.einsum("emq,emr->qr", jp, jp)      # local partial
+            gxe = jnp.einsum("emi,em->ei", jx, r)
+            gpe = jnp.einsum("emq,em->q", jp, r)         # local partial
+
+            sys_loc = scatter_gn_blocks(
+                hxx, hxp, hpp, gxe, gpe,
+                num_blocks=mb + 1, nv=nv, overlap=nv, dtype=dtype,
+            )
+            # Block mb spills into the right neighbour's block 0 — minus
+            # the SPD pad identity scatter_gn_blocks put on its own last
+            # block (the neighbour's block 0 entries are real nodes).
+            pad_ix = jnp.arange(nv, bd)
+            spill_D = sys_loc.D[-1].at[pad_ix, pad_ix].add(-1.0)
+            D = sys_loc.D[:-1].at[0].add(
+                _spill_to_right(spill_D, axis_name, sp)
+            )
+            B = sys_loc.B[:-1].at[0].add(
+                _spill_to_right(sys_loc.B[-1], axis_name, sp)
+            )
+            gx = sys_loc.gx[:-1].at[0].add(
+                _spill_to_right(sys_loc.gx[-1], axis_name, sp)
+            )
+            E = sys_loc.E[:-1]  # E[mb-1] couples to the next shard
+
+            # scatter_gn_blocks put the SPD pad identity on the spilled
+            # (mb-th) block; re-add it where it belongs: the pad node
+            # entries (nv..bd) of the true last block K-1 (last shard).
+            pad_flags = jnp.zeros((mb, bd), dtype)
+            pad_flags = pad_flags.at[mb - 1, nv:].set(1.0)
+            D = D + jnp.where(
+                is_last, pad_flags, 0.0
+            )[..., None] * jnp.eye(bd, dtype=dtype)
+
+            # x0 prior: first shard, block 0.
+            x0w2 = data.x0_w**2
+            ix = jnp.arange(nx)
+            gate = jnp.where(is_first, 1.0, 0.0).astype(dtype)
+            D = D.at[0, ix, ix].add(gate * x0w2)
+            gx = gx.at[0, :nx].add(
+                gate * x0w2 * (v_ext[0, :nx] - data.x0_prior)
+            )
+            return D, E, B, hpp, gx, gpe
+
+        def body(st: _SpState) -> _SpState:
+            D, E, B, hpp_loc, gx, gpe_loc = assemble(st.V, st.p)
+            pw2 = data.p_w**2
+            C = jax.lax.psum(hpp_loc, axis_name) + jnp.diag(pw2)
+            gp = jax.lax.psum(gpe_loc, axis_name) + pw2 * (
+                st.p - data.p_prior
+            )
+            gnorm = jax.lax.pmax(
+                jnp.maximum(
+                    jnp.max(jnp.abs(gx)),
+                    jnp.max(jnp.abs(gp), initial=0.0),
+                ),
+                axis_name,
+            )
+
+            # Damped + Jacobi-equilibrated SPIKE solve (same scaling as
+            # solve.kkt._equilibrate, distributed).
+            eye_b = jnp.eye(bd, dtype=dtype)
+            dd = D + st.lam * eye_b
+            inv = 1.0 / jnp.sqrt(jnp.einsum("kii->ki", dd))
+            inv_nxt = _halo_from_right(inv[:1], axis_name, sp)
+            Ds = dd * inv[:, :, None] * inv[:, None, :]
+            inv_shift = jnp.concatenate([inv[1:], inv_nxt], axis=0)
+            Es = E * inv[:, :, None] * inv_shift[:, None, :]
+            gxs = gx * inv
+            if nq:
+                invp = 1.0 / jnp.sqrt(jnp.diag(C) + st.lam)
+                Bs = B * inv[:, :, None] * invp[None, None, :]
+                rhs = jnp.concatenate([gxs[..., None], Bs], axis=-1)
+            else:
+                invp = jnp.zeros((0,), dtype)
+                rhs = gxs[..., None]
+            x = blocktri_solve_spike(Ds, Es, rhs, axis_name=axis_name)
+            a_g, a_b = x[..., 0], x[..., 1:]
+            if nq:
+                Cs = (C + st.lam * jnp.eye(nq, dtype=dtype)) * (
+                    invp[:, None] * invp[None, :]
+                )
+                schur = Cs - jax.lax.psum(
+                    jnp.einsum("kbq,kbr->qr", Bs, a_b), axis_name
+                )
+                rp = gp * invp - jax.lax.psum(
+                    jnp.einsum("kbq,kb->q", Bs, a_g), axis_name
+                )
+                dps = -jnp.linalg.solve(schur, rp)
+                dx = -(a_g + jnp.einsum("kbq,q->kb", a_b, dps)) * inv
+                dp = dps * invp
+            else:
+                dp = jnp.zeros((0,), dtype)
+                dx = -a_g * inv
+            dV = dx.reshape(mb * d, nv)
+
+            V_try, p_try = st.V + dV, st.p + dp
+            c_try = total_cost(V_try, p_try)
+            step_norm = jnp.sqrt(
+                jax.lax.psum(jnp.sum(dV * dV), axis_name) + jnp.dot(dp, dp)
+            )
+            accept = jnp.isfinite(c_try) & (c_try < st.cost)
+            V_new = jnp.where(accept, V_try, st.V)
+            p_new = jnp.where(accept, p_try, st.p)
+            cost_new = jnp.where(accept, c_try, st.cost)
+            lam_new = jnp.where(
+                accept,
+                jnp.maximum(st.lam * opt.lam_down, opt.lam_min),
+                jnp.minimum(st.lam * opt.lam_up, opt.lam_max),
+            )
+            rel_drop = (st.cost - c_try) / jnp.maximum(st.cost, 1e-300)
+            done = (
+                (gnorm < opt.gtol)
+                | (accept & (opt.ftol > 0.0) & (rel_drop < opt.ftol))
+                | ((opt.xtol > 0.0) & accept & (step_norm < opt.xtol))
+            )
+            hist = st.history.at[st.it].set(
+                jnp.stack([
+                    st.cost, gnorm, st.lam, step_norm, accept.astype(dtype)
+                ])
+            )
+            return _SpState(V_new, p_new, cost_new, lam_new, st.it + 1,
+                            done, gnorm, hist)
+
+        st0 = _SpState(
+            V=V_loc, p=p0,
+            cost=total_cost(V_loc, p0),
+            lam=jnp.asarray(opt.lam0, dtype),
+            it=jnp.asarray(0, jnp.int32),
+            done=jnp.asarray(False),
+            gnorm=jnp.asarray(jnp.inf, dtype),
+            history=jnp.zeros((opt.maxiter, len(HISTORY_COLS)), dtype),
+        )
+        st = jax.lax.while_loop(
+            lambda s: (~s.done) & (s.it < opt.maxiter), body, st0
+        )
+        stats = SolveStats(
+            iterations=st.it, converged=st.done, cost=st.cost,
+            grad_norm=st.gnorm, lam=st.lam, history=st.history,
+        )
+        return st.V, st.p, stats
+
+    ed_spec = jax.tree_util.tree_map(
+        lambda _: P(axis_name), _elemdata_proto(problem)
+    )
+    data_spec = jax.tree_util.tree_map(lambda _: P(), _data_proto(problem))
+    sharded = jax.shard_map(
+        local_solve,
+        mesh=dev_mesh,
+        in_specs=(P(axis_name), P(), ed_spec, data_spec),
+        out_specs=(P(axis_name), P(), SolveStats(*([P()] * 6))),
+        check_vma=False,
+    )
+
+    sharded_jit = jax.jit(sharded)
+
+    def solve(z0: Decision, data):
+        # Padding runs EAGERLY (outside jit) on purpose: under jit, GSPMD
+        # propagates the shard_map's P(sp) sharding back onto the uneven
+        # (N,) -> (K,) concatenate and mis-shards it (each shard locally
+        # padded instead of globally reshuffled), silently zeroing interior
+        # element widths.
+        V_pad = jnp.zeros((k * d, nv), dtype).at[:num_nodes].set(z0.V)
+        ed = problem._elem_data(data)
+        ed_pad = jax.tree_util.tree_map(
+            lambda leaf: jnp.concatenate(
+                [leaf, jnp.zeros((1,) + leaf.shape[1:], leaf.dtype)]
+            ),
+            ed,
+        )
+        ed_pad = ed_pad._replace(width=ed_pad.width.at[-1].set(1.0))
+        V_out, p_out, stats = sharded_jit(V_pad, z0.p, ed_pad, data)
+        return Decision(V=V_out[:num_nodes], p=p_out), stats
+
+    return solve
+
+
+def _data_proto(problem):
+    m = problem.model
+    n, s = problem.mmask.shape
+    z = lambda *shape: jnp.zeros(shape, problem.dtype)
+    return ProblemData(
+        y=z(n, s, m.ny), u=z(n, problem.mesh.degree + 1, m.nu),
+        meas_w=z(m.ny), p_prior=z(m.nq), p_w=z(m.nq),
+        x0_prior=z(m.nx), x0_w=z(m.nx),
+    )
+
+
+def _elemdata_proto(problem):
+    return problem._elem_data(_data_proto(problem))

@@ -1,0 +1,118 @@
+"""Adaptive mesh refinement for collocation estimation.
+
+The reference lineage refines the time mesh between solves and warm-starts
+from the previous solution (SURVEY.md §5 "Checkpoint / resume": "warm starts
+between mesh refinements").  Rebuild: a defect-based error indicator drives
+:func:`collocfem_tpu.ops.mesh.refined_mesh`, and the previous collocation
+polynomial is interpolated onto the new node set.  Each round has new static
+shapes and therefore recompiles — refinement is an outer (host) loop by
+nature; the inner solves stay fully on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from collocfem_tpu.ops.mesh import Mesh, interpolate_trajectory, refined_mesh
+from collocfem_tpu.problem import Decision, EstimationProblem
+from collocfem_tpu.solve.newton import SolverOptions, make_gn_solver
+
+
+def defect_error_indicator(problem: EstimationProblem, z: Decision,
+                           n_samples: int = 4) -> np.ndarray:
+    """Per-element ODE-residual indicator, sampled OFF the collocation nodes.
+
+    At the collocation points the defect is (near) zero by construction; the
+    discretization error lives between them.  Samples the collocation
+    polynomial's ODE residual ||x'(t) - f(x(t), u(t), p, t)|| at ``n_samples``
+    interior non-collocation points per element and returns the per-element
+    max — the standard indicator for h-refinement of collocation methods.
+    """
+    mesh, model = problem.mesh, problem.model
+    n, d = mesh.num_elements, mesh.degree
+    # Midpoints between adjacent LGL nodes (never collocation points).
+    tau = mesh.basis.nodes
+    mids = 0.5 * (tau[:-1] + tau[1:])
+    sel = np.linspace(0, mids.size - 1, n_samples).round().astype(int)
+    taus = mids[sel]                                    # (S,)
+    left = mesh.breakpoints[:-1][:, None]
+    h = mesh.widths[:, None]
+    times = (left + 0.5 * h * (taus[None, :] + 1.0)).ravel()
+
+    V = np.asarray(z.V)
+    vals, derivs = interpolate_trajectory(mesh, V, times, derivative=True)
+    x = jnp.asarray(vals)[:, : model.nx]
+    dx = jnp.asarray(derivs)[:, : model.nx]
+    # Input at sample times: interpolate the node inputs the same way.
+    # (problem stores u per element-node in ProblemData; use zeros when the
+    # caller doesn't provide u_of_t — indicator only needs relative sizes.)
+    u = jnp.zeros((times.size, model.nu), problem.dtype)
+    f = jax.vmap(model.f, in_axes=(0, 0, None, 0))(
+        x, u, z.p, jnp.asarray(times, problem.dtype)
+    )
+    err = jnp.linalg.norm(dx - f, axis=1).reshape(n, n_samples)
+    # h-weighted integrated residual: the element's contribution to the
+    # global error scales with its width, so the indicator decreases under
+    # refinement even where the pointwise residual stays sharp.
+    return np.asarray(jnp.mean(err, axis=1)) * mesh.widths
+
+
+def estimate_adaptive(
+    model,
+    mesh0: Mesh,
+    meas_times,
+    y_values,
+    p0,
+    *,
+    rounds: int = 3,
+    growth: float = 1.5,
+    floor_frac: float = 0.1,
+    defect_weight=100.0,
+    pack_kwargs: dict | None = None,
+    options: SolverOptions = SolverOptions(),
+    u_nodes_fn=None,
+):
+    """Estimate with ``rounds`` of defect-driven h-refinement + warm starts.
+
+    Args:
+      u_nodes_fn: optional ``f(mesh) -> (N, d+1, nu)`` input table builder
+        (inputs must be re-evaluated on each refined mesh).
+    Returns:
+      (problem, z, stats, history) — history is a list of
+      (mesh, p_estimate, max_indicator) per round.
+    """
+    pack_kwargs = dict(pack_kwargs or {})
+    mesh = mesh0
+    z = None
+    history = []
+    for rnd in range(rounds):
+        prob = EstimationProblem.build(
+            model, mesh, meas_times, defect_weight=defect_weight
+        )
+        u_nodes = u_nodes_fn(mesh) if u_nodes_fn is not None else None
+        data = prob.pack_data(
+            y_values, meas_times, u_nodes=u_nodes, **pack_kwargs
+        )
+        if z is None:
+            z0 = prob.initial_guess_from_data(meas_times, y_values, p0=p0)
+        else:
+            V0 = interpolate_trajectory(history[-1][0], z.V, mesh.node_times)
+            z0 = Decision(V=jnp.asarray(V0, prob.dtype), p=z.p)
+        solve = make_gn_solver(prob, options)
+        z, stats = solve(z0, data)
+        ind = defect_error_indicator(prob, z)
+        history.append((mesh, np.asarray(z.p), float(ind.max())))
+        if rnd < rounds - 1:
+            n_new = int(np.ceil(mesh.num_elements * growth))
+            # Floor the density at a fraction of its max: without it the
+            # equidistribution dumps nearly all elements on the sharpest
+            # feature and lets background elements balloon, *increasing*
+            # global error.
+            density = np.maximum(ind, floor_frac * ind.max() + 1e-300)
+            mesh = refined_mesh(
+                mesh.t0, mesh.tf, n_new, mesh.degree, density
+            )
+    return prob, z, stats, history

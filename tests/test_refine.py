@@ -1,0 +1,66 @@
+"""Adaptive h-refinement: defect indicator concentrates elements where the
+dynamics are fast, and refinement + warm start tightens the estimate
+(SURVEY.md §5 mesh-refinement/warm-start capability)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from collocfem_tpu.models import VanDerPol
+from collocfem_tpu.ops.mesh import uniform_mesh
+from collocfem_tpu.refine import defect_error_indicator, estimate_adaptive
+from collocfem_tpu.solve import SolverOptions
+from collocfem_tpu.utils import rk4_trajectory
+
+MU, B = 2.0, 0.0  # relaxation oscillations, unforced
+TF = 8.0
+
+
+def _make_data():
+    model = VanDerPol()
+    ts = np.linspace(0.0, TF, 20001)
+    xs = rk4_trajectory(
+        model.f, jnp.asarray([2.0, 0.0]), ts,
+        u_fn=lambda t: jnp.zeros(1), p=jnp.asarray([MU, B]),
+    )
+    t_meas = np.linspace(0.02, TF - 0.02, 200)
+    y = np.interp(t_meas, ts, np.asarray(xs[:, 0]))[:, None]
+    return model, t_meas, y
+
+
+def test_adaptive_refinement_reduces_indicator_and_error():
+    model, t_meas, y = _make_data()
+    mesh0 = uniform_mesh(0.0, TF, 24, 4)
+    prob, z, stats, history = estimate_adaptive(
+        model, mesh0, t_meas, y, p0=[1.0, 0.0],
+        rounds=3, growth=1.6, defect_weight=300.0,
+        options=SolverOptions(maxiter=80, gtol=1e-8, xtol=1e-10),
+    )
+    inds = [h[2] for h in history]
+    # Indicator falls substantially across refinement rounds.
+    assert inds[-1] < 0.5 * inds[0], inds
+    # Final mu estimate tight (24 uniform elements leave a 1.6e-2 bias).
+    p_err = [abs(h[1][0] - MU) for h in history]
+    assert p_err[-1] < 1e-3, p_err
+    assert p_err[-1] < p_err[0], p_err
+    # Refined mesh concentrates elements: element widths vary materially.
+    w = history[-1][0].widths
+    assert w.max() / w.min() > 2.0
+
+
+def test_indicator_zero_on_exact_polynomial():
+    # For dynamics f = const, a linear trajectory solves the ODE exactly:
+    # indicator must be at rounding level everywhere.
+    from collocfem_tpu.model import Model
+    from collocfem_tpu.problem import Decision, EstimationProblem
+
+    class Const(Model):
+        nx, nu, nq = 1, 0, 0
+
+        def f(self, x, u, p, t):
+            return jnp.ones(1)
+
+    mesh = uniform_mesh(0.0, 1.0, 5, 3)
+    prob = EstimationProblem.build(Const(), mesh, np.array([0.5]))
+    V = jnp.asarray(mesh.node_times)[:, None]
+    ind = defect_error_indicator(prob, Decision(V=V, p=jnp.zeros(0)))
+    assert np.max(ind) < 1e-10
