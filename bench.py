@@ -47,8 +47,11 @@ def main():
     opts = SolverOptions(maxiter=ITERS, gtol=0.0, ftol=0.0, xtol=0.0)
     solve = make_gn_solver(prob, opts)
 
+    t0 = time.perf_counter()
     z, stats = solve(z0, data)          # compile + warmup
     jax.block_until_ready(z)
+    print(f"compile+first-run: {time.perf_counter() - t0:.1f} s",
+          file=sys.stderr)
 
     times = []
     for _ in range(3):

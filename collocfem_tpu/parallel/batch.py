@@ -76,7 +76,10 @@ def shared_gn_step(
     Args:
       chain_solver: ``solve(D, E, G) -> X`` for one block-tridiagonal system
         (default: cyclic reduction).  Pass a vmap-compatible SPIKE closure to
-        additionally shard each chain over "sp".
+        additionally shard each chain over "sp", or a *batched* solver
+        (operating on a leading experiment axis, e.g. the fused Pallas
+        Thomas kernel in ops.blocktri_pallas) marked with
+        ``chain_solver.batched = True``.
       dp_axis: mesh axis name for the parameter psum (None = single shard).
     Returns:
       (dV (n_exp, M, nv), dp (nq,), gnorm).
@@ -94,7 +97,11 @@ def shared_gn_step(
     d_damped = sys_b.D + lam * eye_b
 
     rhs = jnp.concatenate([sys_b.gx[..., None], sys_b.B], axis=-1)
-    x = jax.vmap(chain_solver)(d_damped, sys_b.E, rhs)   # (n_exp, K, bd, 1+nq)
+    if getattr(chain_solver, "batched", False):
+        x = chain_solver(d_damped, sys_b.E, rhs)         # fused over batch
+    else:
+        x = jax.vmap(chain_solver)(d_damped, sys_b.E, rhs)
+    # x: (n_exp, K, bd, 1+nq)
     a_g, a_b = x[..., 0], x[..., 1:]
 
     s_loc = jnp.sum(sys_b.C, 0) - jnp.einsum("ekbq,ekbr->qr", sys_b.B, a_b)

@@ -109,6 +109,9 @@ def _pad_pow2(D, E, G):
         return D, E, G
     eye = jnp.broadcast_to(jnp.eye(b, dtype=D.dtype), (kp - k, b, b))
     D = jnp.concatenate([D, eye])
+    # E[k-1] is ignored by convention but becomes an INTERIOR coupling
+    # after padding — zero it so the pad blocks stay decoupled.
+    E = E.at[k - 1].set(0.0)
     E = jnp.concatenate([E, jnp.zeros((kp - k, b, b), D.dtype)])
     G = jnp.concatenate([G, jnp.zeros((kp - k,) + G.shape[1:], D.dtype)])
     return D, E, G
