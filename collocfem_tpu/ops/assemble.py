@@ -20,6 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from collocfem_tpu.ops.einsum_hp import einsum_hp
+
 
 class BlockTriSystem(NamedTuple):
     """Damped GN normal equations  [[A, B], [B^T, C]] [dx, dp] = -[gx, gp].
@@ -116,11 +118,11 @@ def assemble_gn(problem, z, data) -> BlockTriSystem:
 
     r, jx, jp = jax.vmap(per_elem, in_axes=(0, 0))(xe, ed)
     # Dense per-element normal-equation blocks (MXU work).
-    hxx = jnp.einsum("emi,emj->eij", jx, jx)          # (N, s, s)
-    hxp = jnp.einsum("emi,emq->eiq", jx, jp)          # (N, s, nq)
-    hpp = jnp.einsum("emq,emr->qr", jp, jp)           # (nq, nq)
-    gxe = jnp.einsum("emi,em->ei", jx, r)             # (N, s)
-    gpe = jnp.einsum("emq,em->q", jp, r)              # (nq,)
+    hxx = einsum_hp("emi,emj->eij", jx, jx)          # (N, s, s)
+    hxp = einsum_hp("emi,emq->eiq", jx, jp)          # (N, s, nq)
+    hpp = einsum_hp("emq,emr->qr", jp, jp)           # (nq, nq)
+    gxe = einsum_hp("emi,em->ei", jx, r)             # (N, s)
+    gpe = einsum_hp("emq,em->q", jp, r)              # (nq,)
 
     dtype = z.V.dtype
     sys = scatter_gn_blocks(

@@ -28,6 +28,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from collocfem_tpu.ops.einsum_hp import einsum_hp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -50,10 +52,10 @@ def _thomas_kernel(d_ref, e_ref, g_ref, x_ref, *, kk: int):
     for k in range(1, kk):
         e_prev = e_ref[:, k - 1]
         w = smallblocks.chol_solve(l_prev, e_prev)           # U^{-1}E
-        u = d_ref[:, k] - jnp.einsum(
+        u = d_ref[:, k] - einsum_hp(
             "eji,ejk->eik", e_prev, w, preferred_element_type=e_prev.dtype
         )
-        y = g_ref[:, k] - jnp.einsum(
+        y = g_ref[:, k] - einsum_hp(
             "eji,ejk->eik", w, y_prev, preferred_element_type=w.dtype
         )
         l_prev = smallblocks.chol(u)
@@ -64,7 +66,7 @@ def _thomas_kernel(d_ref, e_ref, g_ref, x_ref, *, kk: int):
     x_next = smallblocks.chol_solve(ls[-1], ys[-1])
     x_ref[:, kk - 1] = x_next
     for k in range(kk - 2, -1, -1):
-        rhs = ys[k] - jnp.einsum(
+        rhs = ys[k] - einsum_hp(
             "eij,ejk->eik", e_ref[:, k], x_next,
             preferred_element_type=x_next.dtype,
         )

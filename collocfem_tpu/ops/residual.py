@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from collocfem_tpu.ops.einsum_hp import einsum_hp
+
 
 def element_derivative(diff: jnp.ndarray, width, Xe: jnp.ndarray) -> jnp.ndarray:
     """Collocation-polynomial time derivative at all element nodes.
@@ -24,7 +26,7 @@ def element_derivative(diff: jnp.ndarray, width, Xe: jnp.ndarray) -> jnp.ndarray
     Returns:
       (d+1, n) dX/dt at the nodes (chain rule: dtau/dt = 2/h).
     """
-    return (2.0 / width) * jnp.einsum(
+    return (2.0 / width) * einsum_hp(
         "kj,jn->kn", diff, Xe, preferred_element_type=Xe.dtype
     )
 
@@ -87,11 +89,11 @@ def measurement_residual(model, rows, Xe, Ue_meas, p, times, y, w, mask):
     Returns:
       (S, ny) scaled residuals (zero on padding).
     """
-    x_s = jnp.einsum("sj,jn->sn", rows, Xe, preferred_element_type=Xe.dtype)
+    x_s = einsum_hp("sj,jn->sn", rows, Xe, preferred_element_type=Xe.dtype)
     h_s = jax.vmap(model.h, in_axes=(0, 0, None, 0))(x_s, Ue_meas, p, times)
     return (h_s - y) * w * mask[:, None]
 
 
 def interpolate_states(rows, Xe):
     """(S, d+1) rows x (d+1, n) node values -> (S, n) interpolated values."""
-    return jnp.einsum("sj,jn->sn", rows, Xe, preferred_element_type=Xe.dtype)
+    return einsum_hp("sj,jn->sn", rows, Xe, preferred_element_type=Xe.dtype)

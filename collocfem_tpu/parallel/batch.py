@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from collocfem_tpu.ops.einsum_hp import einsum_hp
+
 from collocfem_tpu.ops.assemble import assemble_gn, blocks_to_nodes
 from collocfem_tpu.problem import Decision
 from collocfem_tpu.solve.blocktri import SOLVERS
@@ -57,7 +59,7 @@ def batch_cost(problem, z: BatchDecision, data_batch, p_prior, p_w):
     exactly once, here.
     """
     rp = p_w * (z.p - p_prior)
-    return _local_cost(problem, z, data_batch) + 0.5 * jnp.dot(rp, rp)
+    return _local_cost(problem, z, data_batch) + 0.5 * jnp.sum(rp * rp)
 
 
 def shared_gn_step(
@@ -104,8 +106,8 @@ def shared_gn_step(
     # x: (n_exp, K, bd, 1+nq)
     a_g, a_b = x[..., 0], x[..., 1:]
 
-    s_loc = jnp.sum(sys_b.C, 0) - jnp.einsum("ekbq,ekbr->qr", sys_b.B, a_b)
-    r_loc = jnp.sum(sys_b.gp, 0) - jnp.einsum("ekbq,ekb->q", sys_b.B, a_g)
+    s_loc = jnp.sum(sys_b.C, 0) - einsum_hp("ekbq,ekbr->qr", sys_b.B, a_b)
+    r_loc = jnp.sum(sys_b.gp, 0) - einsum_hp("ekbq,ekb->q", sys_b.B, a_g)
     gnorm_loc = jnp.maximum(
         jnp.max(jnp.abs(sys_b.gx)), jnp.max(jnp.abs(sys_b.gp), initial=0.0)
     )
@@ -120,7 +122,7 @@ def shared_gn_step(
     s_tot = s_tot + jnp.diag(pw2) + lam * jnp.eye(nq, dtype=s_tot.dtype)
     r_tot = r_tot + pw2 * (z.p - p_prior)
     dp = -jnp.linalg.solve(s_tot, r_tot)
-    dx = -(a_g + jnp.einsum("ekbq,q->ekb", a_b, dp))
+    dx = -(a_g + einsum_hp("ekbq,q->ekb", a_b, dp))
     dV = jax.vmap(lambda d: blocks_to_nodes(d, problem.num_nodes, problem.nv))(dx)
     return dV, dp, gnorm
 
@@ -143,7 +145,7 @@ def make_multi_experiment_solver(
         c_loc = _local_cost(problem, z, data_batch)
         c_loc = _psum_maybe(c_loc, dp_axis)
         rp = p_w * (z.p - p_prior)
-        return c_loc + 0.5 * jnp.dot(rp, rp)
+        return c_loc + 0.5 * jnp.sum(rp * rp)
 
     def solve(z0: BatchDecision, data_batch, p_prior, p_w):
         def body(st):
@@ -155,7 +157,7 @@ def make_multi_experiment_solver(
             z_try = BatchDecision(V=z.V + dV, p=z.p + dp)
             c_try = total_cost(z_try, data_batch, p_prior, p_w)
             step_norm = jnp.sqrt(
-                _psum_maybe(jnp.sum(dV * dV), dp_axis) + jnp.dot(dp, dp)
+                _psum_maybe(jnp.sum(dV * dV), dp_axis) + jnp.sum(dp * dp)
             )
             accept = jnp.isfinite(c_try) & (c_try < cost)
             z_new = jax.tree_util.tree_map(

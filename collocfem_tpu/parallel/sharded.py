@@ -31,6 +31,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from collocfem_tpu.ops.einsum_hp import einsum_hp
 from jax.sharding import PartitionSpec as P
 
 from collocfem_tpu.ops.assemble import scatter_gn_blocks
@@ -122,7 +124,7 @@ def make_sp_gn_solver(
             rp = data.p_w * (p - data.p_prior)
             x0 = jax.lax.all_gather(V[:1], axis_name)[0, 0, :nx]
             rx0 = data.x0_w * (x0 - data.x0_prior)
-            return 0.5 * (r2 + jnp.dot(rp, rp) + jnp.dot(rx0, rx0))
+            return 0.5 * (r2 + jnp.sum(rp * rp) + jnp.sum(rx0 * rx0))
 
         def assemble(V, p):
             v_ext, xe = gather_local(V)
@@ -139,11 +141,11 @@ def make_sp_gn_solver(
             jx = jx * emask[:, None, None]
             jp = jp * emask[:, None, None]
 
-            hxx = jnp.einsum("emi,emj->eij", jx, jx)
-            hxp = jnp.einsum("emi,emq->eiq", jx, jp)
-            hpp = jnp.einsum("emq,emr->qr", jp, jp)      # local partial
-            gxe = jnp.einsum("emi,em->ei", jx, r)
-            gpe = jnp.einsum("emq,em->q", jp, r)         # local partial
+            hxx = einsum_hp("emi,emj->eij", jx, jx)
+            hxp = einsum_hp("emi,emq->eiq", jx, jp)
+            hpp = einsum_hp("emq,emr->qr", jp, jp)      # local partial
+            gxe = einsum_hp("emi,em->ei", jx, r)
+            gpe = einsum_hp("emq,em->q", jp, r)         # local partial
 
             sys_loc = scatter_gn_blocks(
                 hxx, hxp, hpp, gxe, gpe,
@@ -203,7 +205,7 @@ def make_sp_gn_solver(
             # solve.kkt._equilibrate, distributed).
             eye_b = jnp.eye(bd, dtype=dtype)
             dd = D + st.lam * eye_b
-            inv = 1.0 / jnp.sqrt(jnp.einsum("kii->ki", dd))
+            inv = 1.0 / jnp.sqrt(einsum_hp("kii->ki", dd))
             inv_nxt = _halo_from_right(inv[:1], axis_name, sp)
             Ds = dd * inv[:, :, None] * inv[:, None, :]
             inv_shift = jnp.concatenate([inv[1:], inv_nxt], axis=0)
@@ -223,13 +225,13 @@ def make_sp_gn_solver(
                     invp[:, None] * invp[None, :]
                 )
                 schur = Cs - jax.lax.psum(
-                    jnp.einsum("kbq,kbr->qr", Bs, a_b), axis_name
+                    einsum_hp("kbq,kbr->qr", Bs, a_b), axis_name
                 )
                 rp = gp * invp - jax.lax.psum(
-                    jnp.einsum("kbq,kb->q", Bs, a_g), axis_name
+                    einsum_hp("kbq,kb->q", Bs, a_g), axis_name
                 )
                 dps = -jnp.linalg.solve(schur, rp)
-                dx = -(a_g + jnp.einsum("kbq,q->kb", a_b, dps)) * inv
+                dx = -(a_g + einsum_hp("kbq,q->kb", a_b, dps)) * inv
                 dp = dps * invp
             else:
                 dp = jnp.zeros((0,), dtype)
@@ -239,7 +241,7 @@ def make_sp_gn_solver(
             V_try, p_try = st.V + dV, st.p + dp
             c_try = total_cost(V_try, p_try)
             step_norm = jnp.sqrt(
-                jax.lax.psum(jnp.sum(dV * dV), axis_name) + jnp.dot(dp, dp)
+                jax.lax.psum(jnp.sum(dV * dV), axis_name) + jnp.sum(dp * dp)
             )
             accept = jnp.isfinite(c_try) & (c_try < st.cost)
             V_new = jnp.where(accept, V_try, st.V)

@@ -20,6 +20,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from collocfem_tpu.ops.einsum_hp import einsum_hp
 from jax.sharding import PartitionSpec as P
 
 from collocfem_tpu.parallel.meshes import SP_AXIS
@@ -27,11 +29,11 @@ from collocfem_tpu.solve.blocktri import blocktri_solve_scan
 
 
 def _bmm(a, b):
-    return jnp.einsum("...ij,...jk->...ik", a, b, preferred_element_type=a.dtype)
+    return einsum_hp("...ij,...jk->...ik", a, b, preferred_element_type=a.dtype)
 
 
 def _bmtm(a, b):
-    return jnp.einsum("...ji,...jk->...ik", a, b, preferred_element_type=a.dtype)
+    return einsum_hp("...ji,...jk->...ik", a, b, preferred_element_type=a.dtype)
 
 
 def blocktri_solve_spike(

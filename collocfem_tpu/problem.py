@@ -106,14 +106,16 @@ def group_measurements(
     rg = np.zeros((n, s, d + 1))
     mg = np.zeros((n, s))
     tg = np.zeros((n, s))
-    slot = np.zeros(n, dtype=int)
-    for i, ei in enumerate(e):
-        k = slot[ei]
-        yg[ei, k] = values[i]
-        rg[ei, k] = rows[i]
-        mg[ei, k] = 1.0
-        tg[ei, k] = times[i]
-        slot[ei] = k + 1
+    # Vectorized slotting: stable-sort samples by element, then the slot of
+    # sample i is its rank within its element (cumcount).
+    order = np.argsort(e, kind="stable")
+    es = e[order]
+    starts = np.searchsorted(es, np.arange(n), side="left")
+    slot = np.arange(es.size) - starts[es]
+    yg[es, slot] = values[order]
+    rg[es, slot] = rows[order]
+    mg[es, slot] = 1.0
+    tg[es, slot] = times[order]
     return yg, rg, mg, tg
 
 
@@ -273,7 +275,7 @@ class EstimationProblem:
 
     def cost(self, z: Decision, data: ProblemData) -> jnp.ndarray:
         r = self.residual_vector(z, data)
-        return 0.5 * jnp.dot(r, r)
+        return 0.5 * jnp.sum(r * r)
 
     def measurement_residuals(self, z: Decision, data: ProblemData):
         """Weighted per-sample measurement residuals (N, S, ny) (masked).

@@ -30,6 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from collocfem_tpu.ops.einsum_hp import einsum_hp
+
 from collocfem_tpu.ops.assemble import (
     BlockTriSystem,
     blocks_to_nodes,
@@ -171,11 +173,11 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
             ve, mult.defect, problem.widths, problem.elem_times,
             problem.cscale, problem.qscale,
         )
-        hxx = jnp.einsum("emi,emj->eij", jx, jx)
-        hxp = jnp.einsum("emi,emq->eiq", jx, jp)
-        hpp = jnp.einsum("emq,emr->qr", jp, jp)
-        gxe = jnp.einsum("emi,em->ei", jx, r)
-        gpe = jnp.einsum("emq,em->q", jp, r)
+        hxx = einsum_hp("emi,emj->eij", jx, jx)
+        hxp = einsum_hp("emi,emq->eiq", jx, jp)
+        hpp = einsum_hp("emq,emr->qr", jp, jp)
+        gxe = einsum_hp("emi,em->ei", jx, r)
+        gpe = einsum_hp("emq,em->q", jp, r)
         sys = scatter_gn_blocks(
             hxx, hxp, hpp, gxe, gpe,
             num_blocks=k, nv=nv, overlap=nv, dtype=problem.dtype,
@@ -194,11 +196,11 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
         x, _ = problem.split(z.V)
         tr = terminal_res(x[-1], z.p)
         jt_x, jt_p = jax.jacfwd(terminal_res, argnums=(0, 1))(x[-1], z.p)
-        D = D.at[k - 1, :nx, :nx].add(jt_x.T @ jt_x)
-        B = sys.B.at[k - 1, :nx, :].add(jt_x.T @ jt_p)
-        C = sys.C + jt_p.T @ jt_p
-        gx = gx.at[k - 1, :nx].add(jt_x.T @ tr)
-        gp = sys.gp + jt_p.T @ tr
+        D = D.at[k - 1, :nx, :nx].add(einsum_hp("mi,mj->ij", jt_x, jt_x))
+        B = sys.B.at[k - 1, :nx, :].add(einsum_hp("mi,mq->iq", jt_x, jt_p))
+        C = sys.C + einsum_hp("mq,mr->qr", jt_p, jt_p)
+        gx = gx.at[k - 1, :nx].add(einsum_hp("mi,m->i", jt_x, tr))
+        gp = sys.gp + einsum_hp("mq,m->q", jt_p, tr)
         sys = sys._replace(D=D, B=B, C=C, gx=gx, gp=gp)
 
         # Log-barrier: per-node gradient + PSD Gauss-Newton Hessian.
@@ -214,11 +216,11 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
         )(z.V, z.p, problem.node_times)                     # (M, ng, nv/nq)
         w1 = mu / (-gvals)                                  # (M, ng) > 0
         w2 = w1 / (-gvals)                                  # mu / g^2
-        gn = jnp.einsum("mgi,mg->mi", jgv, w1)
-        gp_bar = jnp.einsum("mgq,mg->q", jgp, w1)
-        Hn = jnp.einsum("mgi,mg,mgj->mij", jgv, w2, jgv)
-        Bn = jnp.einsum("mgi,mg,mgq->miq", jgv, w2, jgp)
-        Hpp_bar = jnp.einsum("mgq,mg,mgr->qr", jgp, w2, jgp)
+        gn = einsum_hp("mgi,mg->mi", jgv, w1)
+        gp_bar = einsum_hp("mgq,mg->q", jgp, w1)
+        Hn = einsum_hp("mgi,mg,mgj->mij", jgv, w2, jgv)
+        Bn = einsum_hp("mgi,mg,mgq->miq", jgv, w2, jgp)
+        Hpp_bar = einsum_hp("mgq,mg,mgr->qr", jgp, w2, jgp)
         sys = _node_block_scatter(sys, Hn, Bn, gn, d)
         sys = sys._replace(C=sys.C + Hpp_bar, gp=sys.gp + gp_bar)
         return sys, gvals, jgv, jgp
@@ -226,8 +228,8 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
     # -- fraction-to-boundary + feasibility backtracking ---------------------
     def line_search_alpha(z, dV, dp, gvals, jgv, jgp):
         dgdir = (
-            jnp.einsum("mgi,mi->mg", jgv, dV)
-            + (jgp @ dp if nq else jnp.zeros_like(gvals))
+            einsum_hp("mgi,mi->mg", jgv, dV)
+            + (einsum_hp("mgq,q->mg", jgp, dp) if nq else jnp.zeros_like(gvals))
         )
         ratio = jnp.where(
             dgdir > 0, opt.ftb * (-gvals) / jnp.maximum(dgdir, 1e-300), jnp.inf

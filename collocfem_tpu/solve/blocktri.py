@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from collocfem_tpu.ops.einsum_hp import einsum_hp
+
 from collocfem_tpu.ops import smallblocks
 
 # Batched tiny-block primitives: unrolled over the (static, small) block
@@ -36,12 +38,12 @@ _chol_solve = smallblocks.chol_solve
 
 
 def _mm(a, b):
-    return jnp.einsum("...ij,...jk->...ik", a, b, preferred_element_type=a.dtype)
+    return einsum_hp("...ij,...jk->...ik", a, b, preferred_element_type=a.dtype)
 
 
 def _mtm(a, b):
     """a^T @ b batched."""
-    return jnp.einsum("...ji,...jk->...ik", a, b, preferred_element_type=a.dtype)
+    return einsum_hp("...ji,...jk->...ik", a, b, preferred_element_type=a.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -225,18 +227,22 @@ def blocktri_solve_cr(D, E, G):
         G = jnp.concatenate([g_new, jnp.zeros((half, b, r), dtype)])
         return D, E, G, st_l, st_eu, st_el, st_g
 
+    # A zero that carries D's varying manual axes: under shard_map (e.g.
+    # vmapped per-experiment solves inside a "dp" shard), plain zeros are
+    # unvarying and the fori_loop carry check rejects them.
+    vary0 = jnp.zeros((), dtype) * D.reshape(-1)[0]
     stacks = (
-        jnp.zeros((levels, half, b, b), dtype),
-        jnp.zeros((levels, half, b, b), dtype),
-        jnp.zeros((levels, half, b, b), dtype),
-        jnp.zeros((levels, half, b, r), dtype),
+        jnp.zeros((levels, half, b, b), dtype) + vary0,
+        jnp.zeros((levels, half, b, b), dtype) + vary0,
+        jnp.zeros((levels, half, b, b), dtype) + vary0,
+        jnp.zeros((levels, half, b, r), dtype) + vary0,
     )
     D, E, G, st_l, st_eu, st_el, st_g = jax.lax.fori_loop(
         0, levels, fwd, (D, E, G) + stacks
     )
 
     x0 = _chol_solve(_cholesky(D[0]), G[0])
-    X = jnp.zeros((k, b, r), dtype).at[0].set(x0)
+    X = (jnp.zeros((k, b, r), dtype) + vary0).at[0].set(x0)
 
     def bwd(i, X):
         l = levels - 1 - i

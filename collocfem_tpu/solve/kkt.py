@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from collocfem_tpu.ops.einsum_hp import einsum_hp
+
 from collocfem_tpu.ops.assemble import BlockTriSystem, materialize_dense
 from collocfem_tpu.solve.blocktri import SOLVERS
 
@@ -30,7 +32,7 @@ def _equilibrate(sys: BlockTriSystem, lam):
     nq = sys.C.shape[0]
     eye_b = jnp.eye(bd, dtype=sys.D.dtype)
     d_damped = sys.D + lam * eye_b
-    sx = jnp.sqrt(jnp.einsum("kii->ki", d_damped))          # (K, bd)
+    sx = jnp.sqrt(einsum_hp("kii->ki", d_damped))          # (K, bd)
     inv_sx = 1.0 / sx
     D = d_damped * inv_sx[:, :, None] * inv_sx[:, None, :]  # unit diagonal
     E = sys.E[:-1] * inv_sx[:-1, :, None] * inv_sx[1:, None, :]
@@ -50,11 +52,24 @@ def _equilibrate(sys: BlockTriSystem, lam):
     return scaled, inv_sx, inv_sp
 
 
-def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr"):
+def blocktri_matvec(D, E, X):
+    """y = A X for the symmetric block-tridiagonal A (E[K-1] ignored)."""
+    y = einsum_hp("kij,kj->ki", D, X)
+    y = y.at[:-1].add(einsum_hp("kij,kj->ki", E[:-1], X[1:]))
+    y = y.at[1:].add(einsum_hp("kji,kj->ki", E[:-1], X[:-1]))
+    return y
+
+
+def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
+              refine: int = 0):
     """Solve [[A+lam I, B], [B^T, C+lam I]] [dx, dp] = -[gx, gp].
 
     Damping is folded into the Jacobi equilibration (the scaled system has
-    unit diagonal, so A_scaled = S A S already includes lam).  Returns
+    unit diagonal, so A_scaled = S A S already includes lam).  With
+    ``refine > 0``, performs that many iterative-refinement passes —
+    residual of the (scaled) KKT system, correction re-solve — pushing the
+    float32 step error from O(eps * cond) toward O(eps) (SURVEY.md §7 hard
+    part 4) for one extra factorization-free solve each.  Returns
     (dx (K, bd), dp (nq,)).
     """
     k, bd = sys.num_blocks, sys.block_size
@@ -72,13 +87,32 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr"):
 
     if nq == 0:
         dx = -solver(s.D, s.E, s.gx[..., None])[..., 0]
+        for _ in range(refine):
+            res = s.gx + blocktri_matvec(s.D, s.E, dx)
+            dx = dx - solver(s.D, s.E, res[..., None])[..., 0]
         return dx * inv_sx, jnp.zeros((0,), sys.D.dtype)
 
     rhs = jnp.concatenate([s.gx[..., None], s.B], axis=-1)  # (K, bd, 1+nq)
     x = solver(s.D, s.E, rhs)
     a_g, a_b = x[..., 0], x[..., 1:]                # A^{-1}gx, A^{-1}B
-    schur = s.C - jnp.einsum("kbq,kbr->qr", s.B, a_b)
-    rp = s.gp - jnp.einsum("kbq,kb->q", s.B, a_g)
+    schur = s.C - einsum_hp("kbq,kbr->qr", s.B, a_b)
+    rp = s.gp - einsum_hp("kbq,kb->q", s.B, a_g)
     dp = -jnp.linalg.solve(schur, rp)
-    dx = -(a_g + jnp.einsum("kbq,q->kb", a_b, dp))
+    dx = -(a_g + einsum_hp("kbq,q->kb", a_b, dp))
+    for _ in range(refine):
+        res_x = (
+            s.gx + blocktri_matvec(s.D, s.E, dx)
+            + einsum_hp("kbq,q->kb", s.B, dp)
+        )
+        res_p = (
+            s.gp + einsum_hp("kbq,kb->q", s.B, dx)
+            + einsum_hp("qr,r->q", s.C, dp)
+        )
+        ax = solver(s.D, s.E, res_x[..., None])[..., 0]
+        cp = jnp.linalg.solve(
+            schur, res_p - einsum_hp("kbq,kb->q", s.B, ax)
+        )
+        cx = ax - einsum_hp("kbq,q->kb", a_b, cp)
+        dx = dx - cx
+        dp = dp - cp
     return dx * inv_sx, dp * inv_sp

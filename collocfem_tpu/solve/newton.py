@@ -42,8 +42,9 @@ class SolverOptions:
     lam_min: float = 1e-14
     lam_max: float = 1e12
     method: str = "cr"       # 'cr' | 'scan' | 'dense' | 'dense_full'
+    kkt_refine: int = 0      # iterative-refinement passes per KKT solve
     verbose: bool = False
-    irls_delta: float = 0.0  # >0 enables Huber IRLS reweighting (reserved)
+    irls_delta: float = 0.0  # >0 enables Huber IRLS reweighting
 
 
 class SolveStats(NamedTuple):
@@ -83,7 +84,7 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
             gnorm = jnp.maximum(
                 jnp.max(jnp.abs(sys.gx)), jnp.max(jnp.abs(sys.gp), initial=0.0)
             )
-            dx, dp = solve_kkt(sys, st.lam, opt.method)
+            dx, dp = solve_kkt(sys, st.lam, opt.method, opt.kkt_refine)
             dV = blocks_to_nodes(dx, num_nodes, nv)
             z_try = Decision(V=st.z.V + dV, p=st.z.p + dp)
             c_try = problem.cost(z_try, data)
