@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from collocfem_tpu.ops.einsum_hp import einsum_hp
 
 from collocfem_tpu.ops import smallblocks
+from collocfem_tpu.ops import smallblocks_soa as soa
 
 # Batched tiny-block primitives: unrolled over the (static, small) block
 # dimension so each factorization is pure fused VPU work over the K-batch
@@ -168,7 +169,7 @@ def blocktri_solve_cr_unrolled(D, E, G):
 
 
 def blocktri_solve_cr(D, E, G):
-    """Pivot-free SPD block cyclic reduction, fixed-shape / single-trace.
+    """Pivot-free SPD block cyclic reduction, fixed-shape / SoA / single-trace.
 
     Each level eliminates the odd-indexed blocks in one *batched* Cholesky +
     triangular solves, halving the active chain; back-substitution retraces
@@ -176,14 +177,24 @@ def blocktri_solve_cr(D, E, G):
     stays SPD at every level, so no pivoting is needed (SURVEY.md §7 hard
     part 1).
 
-    TPU-first trick: the active blocks always live in a *contiguous prefix*
-    of full-size (K, b, b) buffers whose tail is padded with identity
-    diagonal / zero coupling — an exact fixed point of the CR update — so
-    every level runs the SAME static-shape computation and the whole sweep
-    is two ``lax.fori_loop``s whose body is traced ONCE.  Compile time is
-    O(1) in K (the Python-unrolled variant is O(log K) distinct-shape levels
-    and blows up XLA:TPU compilation at K ~ 10^4); runtime does O(K log K)
-    work instead of O(K), a non-issue for this bandwidth-bound sweep.
+    TPU-first design, both measured on v5e:
+
+      * **Fixed shapes / single trace**: active blocks always live in a
+        contiguous prefix of full-size buffers whose tail is padded with
+        identity diagonal / zero coupling — an exact fixed point of the CR
+        update — so every level runs the SAME static-shape computation and
+        the whole sweep is two ``lax.fori_loop``s traced ONCE (the
+        Python-unrolled variant blows up XLA:TPU compile time at K ~ 10^4).
+        Runtime does O(K log K) work instead of O(K) — a non-issue for this
+        bandwidth-bound sweep.
+      * **SoA layout** (ops.smallblocks_soa): blocks are held as
+        (b, b, K) with the chain on the vector lanes; the even/odd split is
+        a contiguous pair reshape and every unrolled block-algebra op is a
+        full-width elementwise op.  The block-major (K, b, b) form wastes
+        ~(128/b) of each tile and its strided chain slices cost ~4x more
+        per K-doubling in-loop.
+      * Back-substitution uses the stored Schur factors
+        x_odd = s_g - s_up x_even - s_lo x_right (no re-solve).
     """
     squeeze = G.ndim == 2
     if squeeze:
@@ -198,66 +209,82 @@ def blocktri_solve_cr(D, E, G):
     levels = k.bit_length() - 1  # log2(k)
     dtype = D.dtype
     half = k // 2
-    eye = jnp.broadcast_to(jnp.eye(b, dtype=dtype), (half, b, b))
+
+    Ds, Es, Gs = soa.from_aos(D), soa.from_aos(E), soa.from_aos(G)
+    eye = jnp.broadcast_to(
+        jnp.eye(b, dtype=dtype)[:, :, None], (b, b, half)
+    )
+
+    def split(A):
+        """(b, c, K) -> even (b, c, half), odd (b, c, half): pair reshape."""
+        A5 = A.reshape(A.shape[0], A.shape[1], half, 2)
+        return A5[..., 0], A5[..., 1]
 
     def fwd(l, carry):
-        D, E, G, st_l, st_eu, st_el, st_g = carry
-        d_odd, g_odd = D[1::2], G[1::2]
-        e_up, e_lo = E[0::2], E[1::2]
-        l_odd = _cholesky(d_odd)
-        s_up = _chol_solve(l_odd, jnp.swapaxes(e_up, -1, -2))
-        s_lo = _chol_solve(l_odd, e_lo)
-        s_g = _chol_solve(l_odd, g_odd)
+        Ds, Es, Gs, st_su, st_sl, st_sg = carry
+        d_even, d_odd = split(Ds)
+        e_up, e_lo = split(Es)
+        g_even, g_odd = split(Gs)
+        l_odd = soa.chol(d_odd)
+        s_up = soa.chol_solve(l_odd, soa.transpose(e_up))
+        s_lo = soa.chol_solve(l_odd, e_lo)
+        s_g = soa.chol_solve(l_odd, g_odd)
 
-        d_new = D[0::2] - _mm(e_up, s_up)
-        d_new = d_new.at[1:].add(-_mtm(e_lo, s_lo)[:-1])
-        g_new = G[0::2] - _mm(e_up, s_g)
-        g_new = g_new.at[1:].add(-_mtm(e_lo, s_g)[:-1])
-        e_new = -_mm(e_up, s_lo)
+        d_new = d_even - soa.mm(e_up, s_up)
+        d_new = d_new.at[..., 1:].add(-soa.mtm(e_lo, s_lo)[..., :-1])
+        g_new = g_even - soa.mm(e_up, s_g)
+        g_new = g_new.at[..., 1:].add(-soa.mtm(e_lo, s_g)[..., :-1])
+        e_new = -soa.mm(e_up, s_lo)
 
-        st_l = jax.lax.dynamic_update_index_in_dim(st_l, l_odd, l, 0)
-        st_eu = jax.lax.dynamic_update_index_in_dim(st_eu, e_up, l, 0)
-        st_el = jax.lax.dynamic_update_index_in_dim(st_el, e_lo, l, 0)
-        st_g = jax.lax.dynamic_update_index_in_dim(st_g, g_odd, l, 0)
+        st_su = jax.lax.dynamic_update_index_in_dim(st_su, s_up, l, 0)
+        st_sl = jax.lax.dynamic_update_index_in_dim(st_sl, s_lo, l, 0)
+        st_sg = jax.lax.dynamic_update_index_in_dim(st_sg, s_g, l, 0)
 
         # Re-pad to full K: the eliminated tail becomes identity/zero,
         # which the next level's update maps to identity/zero again.
-        D = jnp.concatenate([d_new, eye])
-        E = jnp.concatenate([e_new, jnp.zeros((half, b, b), dtype)])
-        G = jnp.concatenate([g_new, jnp.zeros((half, b, r), dtype)])
-        return D, E, G, st_l, st_eu, st_el, st_g
+        Ds = jnp.concatenate([d_new, eye], axis=-1)
+        Es = jnp.concatenate(
+            [e_new, jnp.zeros((b, b, half), dtype)], axis=-1
+        )
+        Gs = jnp.concatenate(
+            [g_new, jnp.zeros((b, r, half), dtype)], axis=-1
+        )
+        return Ds, Es, Gs, st_su, st_sl, st_sg
 
     # A zero that carries D's varying manual axes: under shard_map (e.g.
     # vmapped per-experiment solves inside a "dp" shard), plain zeros are
     # unvarying and the fori_loop carry check rejects them.
     vary0 = jnp.zeros((), dtype) * D.reshape(-1)[0]
     stacks = (
-        jnp.zeros((levels, half, b, b), dtype) + vary0,
-        jnp.zeros((levels, half, b, b), dtype) + vary0,
-        jnp.zeros((levels, half, b, b), dtype) + vary0,
-        jnp.zeros((levels, half, b, r), dtype) + vary0,
+        jnp.zeros((levels, b, b, half), dtype) + vary0,
+        jnp.zeros((levels, b, b, half), dtype) + vary0,
+        jnp.zeros((levels, b, r, half), dtype) + vary0,
     )
-    D, E, G, st_l, st_eu, st_el, st_g = jax.lax.fori_loop(
-        0, levels, fwd, (D, E, G) + stacks
+    Ds, Es, Gs, st_su, st_sl, st_sg = jax.lax.fori_loop(
+        0, levels, fwd, (Ds, Es, Gs) + stacks
     )
 
-    x0 = _chol_solve(_cholesky(D[0]), G[0])
-    X = (jnp.zeros((k, b, r), dtype) + vary0).at[0].set(x0)
+    x0 = soa.chol_solve(soa.chol(Ds[..., :1]), Gs[..., :1])  # (b, r, 1)
+    X = jnp.concatenate(
+        [x0, jnp.zeros((b, r, k - 1), dtype) + vary0], axis=-1
+    )
 
     def bwd(i, X):
         l = levels - 1 - i
-        l_odd = jax.lax.dynamic_index_in_dim(st_l, l, 0, keepdims=False)
-        e_up = jax.lax.dynamic_index_in_dim(st_eu, l, 0, keepdims=False)
-        e_lo = jax.lax.dynamic_index_in_dim(st_el, l, 0, keepdims=False)
-        g_odd = jax.lax.dynamic_index_in_dim(st_g, l, 0, keepdims=False)
-        x_ev = X[:half]
-        x_right = jnp.concatenate([x_ev[1:], jnp.zeros_like(x_ev[:1])])
-        rhs = g_odd - _mtm(e_up, x_ev) - _mm(e_lo, x_right)
-        x_odd = _chol_solve(l_odd, rhs)
-        return jnp.stack([x_ev, x_odd], axis=1).reshape(k, b, r)
+        s_up = jax.lax.dynamic_index_in_dim(st_su, l, 0, keepdims=False)
+        s_lo = jax.lax.dynamic_index_in_dim(st_sl, l, 0, keepdims=False)
+        s_g = jax.lax.dynamic_index_in_dim(st_sg, l, 0, keepdims=False)
+        x_ev = X[..., :half]
+        x_right = jnp.concatenate(
+            [x_ev[..., 1:], jnp.zeros_like(x_ev[..., :1])], axis=-1
+        )
+        # x_odd = D_odd^{-1}(g - e_up^T x_ev - e_lo x_right) expressed via
+        # the stored Schur factors: no solve in the backward sweep.
+        x_odd = s_g - soa.mm(s_up, x_ev) - soa.mm(s_lo, x_right)
+        return jnp.stack([x_ev, x_odd], axis=-1).reshape(b, r, k)
 
     X = jax.lax.fori_loop(0, levels, bwd, X)
-    X = X[:k0]
+    X = soa.to_aos(X)[:k0]
     return X[..., 0] if squeeze else X
 
 

@@ -1,6 +1,8 @@
 """Auxiliary subsystems (SURVEY.md §5): checkpointing, profiling, simulation."""
 
 from collocfem_tpu.utils.checkpoint import load_pytree, save_pytree
+from collocfem_tpu.utils.debugging import assert_all_finite, checkified
+from collocfem_tpu.utils.io import load_measurements, save_measurements
 from collocfem_tpu.utils.profiling import timed, trace
 from collocfem_tpu.utils.simulate import rk4_trajectory
 
@@ -10,4 +12,8 @@ __all__ = [
     "timed",
     "trace",
     "rk4_trajectory",
+    "checkified",
+    "assert_all_finite",
+    "load_measurements",
+    "save_measurements",
 ]
