@@ -168,7 +168,51 @@ def blocktri_solve_cr_unrolled(D, E, G):
     return x[..., 0] if squeeze else x
 
 
-def blocktri_solve_cr(D, E, G):
+def _cr_level_soa(Ds, Es, Gs):
+    """One SoA cyclic-reduction level: eliminate odd blocks, halve the chain.
+
+    Shapes (b, ·, K) -> (b, ·, K/2).  Returns the reduced system and the
+    Schur factors (s_up, s_lo, s_g) needed for back-substitution.
+    """
+    b = Ds.shape[0]
+    half = Ds.shape[-1] // 2
+
+    def split(A):
+        A5 = A.reshape(A.shape[0], A.shape[1], half, 2)
+        return A5[..., 0], A5[..., 1]
+
+    d_even, d_odd = split(Ds)
+    e_up, e_lo = split(Es)
+    g_even, g_odd = split(Gs)
+    l_odd = soa.chol(d_odd)
+    s_up = soa.chol_solve(l_odd, soa.transpose(e_up))
+    s_lo = soa.chol_solve(l_odd, e_lo)
+    s_g = soa.chol_solve(l_odd, g_odd)
+
+    d_new = d_even - soa.mm(e_up, s_up)
+    d_new = d_new.at[..., 1:].add(-soa.mtm(e_lo, s_lo)[..., :-1])
+    g_new = g_even - soa.mm(e_up, s_g)
+    g_new = g_new.at[..., 1:].add(-soa.mtm(e_lo, s_g)[..., :-1])
+    e_new = -soa.mm(e_up, s_lo)
+    return (d_new, e_new, g_new), (s_up, s_lo, s_g)
+
+
+def _cr_backsub_soa(x_even, s_up, s_lo, s_g):
+    """Recover the odd blocks and interleave: (b, r, K/2) -> (b, r, K).
+
+    x_odd = D_odd^{-1}(g - e_up^T x_even - e_lo x_right) expressed through
+    the stored Schur factors — no solve in the backward sweep.
+    """
+    b, r, half = x_even.shape
+    x_right = jnp.concatenate(
+        [x_even[..., 1:], jnp.zeros_like(x_even[..., :1])], axis=-1
+    )
+    x_odd = s_g - soa.mm(s_up, x_even) - soa.mm(s_lo, x_right)
+    return jnp.stack([x_even, x_odd], axis=-1).reshape(b, r, 2 * half)
+
+
+def blocktri_solve_cr(D, E, G, *, unroll: int = 3, tail: int = 32,
+                      pallas: bool | None = None):
     """Pivot-free SPD block cyclic reduction, fixed-shape / SoA / single-trace.
 
     Each level eliminates the odd-indexed blocks in one *batched* Cholesky +
@@ -195,6 +239,13 @@ def blocktri_solve_cr(D, E, G):
         per K-doubling in-loop.
       * Back-substitution uses the stored Schur factors
         x_odd = s_g - s_up x_even - s_lo x_right (no re-solve).
+      * **Hybrid level schedule**: the top ``unroll`` levels are
+        Python-unrolled at genuinely halving shapes (they hold most of the
+        O(K) work), the middle levels run the fixed-shape fori (compile
+        O(1) in K), and chains of <= ``tail`` blocks finish with the
+        sequential block-Thomas scan — cutting total work from
+        levels x O(K) to ~3 x O(K) without the unrolled-everything
+        compile-time blowup.
     """
     squeeze = G.ndim == 2
     if squeeze:
@@ -206,84 +257,107 @@ def blocktri_solve_cr(D, E, G):
     if k == 1:
         x = _chol_solve(_cholesky(D[0]), G[0])[None][:k0]
         return x[..., 0] if squeeze else x
-    levels = k.bit_length() - 1  # log2(k)
     dtype = D.dtype
-    half = k // 2
+    vary0 = jnp.zeros((), dtype) * D.reshape(-1)[0]
 
     Ds, Es, Gs = soa.from_aos(D), soa.from_aos(E), soa.from_aos(G)
-    eye = jnp.broadcast_to(
-        jnp.eye(b, dtype=dtype)[:, :, None], (b, b, half)
-    )
 
-    def split(A):
-        """(b, c, K) -> even (b, c, half), odd (b, c, half): pair reshape."""
-        A5 = A.reshape(A.shape[0], A.shape[1], half, 2)
-        return A5[..., 0], A5[..., 1]
+    # On TPU, run every level as a fused Pallas program (one forward + one
+    # backward Mosaic kernel per level): the XLA lowering of a level is
+    # hundreds of small elementwise kernels whose dispatch overhead
+    # dominates inside solver loops.
+    if pallas is None:
+        pallas = jax.default_backend() == "tpu" and k > tail
+    if pallas:
+        from collocfem_tpu.ops import cr_pallas
 
-    def fwd(l, carry):
-        Ds, Es, Gs, st_su, st_sl, st_sg = carry
-        d_even, d_odd = split(Ds)
-        e_up, e_lo = split(Es)
-        g_even, g_odd = split(Gs)
-        l_odd = soa.chol(d_odd)
-        s_up = soa.chol_solve(l_odd, soa.transpose(e_up))
-        s_lo = soa.chol_solve(l_odd, e_lo)
-        s_g = soa.chol_solve(l_odd, g_odd)
+        pl_stack = []
+        while Ds.shape[-1] > tail:
+            (Ds, Es, Gs), fac = cr_pallas.cr_level(Ds, Es, Gs)
+            pl_stack.append(fac)
+        X = soa.from_aos(blocktri_solve_scan(
+            soa.to_aos(Ds), soa.to_aos(Es), soa.to_aos(Gs)
+        ))
+        for s_up, s_lo, s_g in reversed(pl_stack):
+            X = cr_pallas.cr_backsub(X, s_up, s_lo, s_g)
+        X = soa.to_aos(X)[:k0]
+        return X[..., 0] if squeeze else X
 
-        d_new = d_even - soa.mm(e_up, s_up)
-        d_new = d_new.at[..., 1:].add(-soa.mtm(e_lo, s_lo)[..., :-1])
-        g_new = g_even - soa.mm(e_up, s_g)
-        g_new = g_new.at[..., 1:].add(-soa.mtm(e_lo, s_g)[..., :-1])
-        e_new = -soa.mm(e_up, s_lo)
+    # -- stage 1: python-unrolled top levels (shapes truly halve) ------------
+    static_stack = []
+    while Ds.shape[-1] > tail and len(static_stack) < unroll:
+        (Ds, Es, Gs), fac = _cr_level_soa(Ds, Es, Gs)
+        static_stack.append(fac)
+    k2 = Ds.shape[-1]
 
-        st_su = jax.lax.dynamic_update_index_in_dim(st_su, s_up, l, 0)
-        st_sl = jax.lax.dynamic_update_index_in_dim(st_sl, s_lo, l, 0)
-        st_sg = jax.lax.dynamic_update_index_in_dim(st_sg, s_g, l, 0)
-
-        # Re-pad to full K: the eliminated tail becomes identity/zero,
-        # which the next level's update maps to identity/zero again.
-        Ds = jnp.concatenate([d_new, eye], axis=-1)
-        Es = jnp.concatenate(
-            [e_new, jnp.zeros((b, b, half), dtype)], axis=-1
+    if k2 > tail:
+        # -- stage 2: fixed-shape fori at size k2 down to `tail` actives ----
+        levels = (k2 // tail).bit_length() - 1
+        half = k2 // 2
+        eye = jnp.broadcast_to(
+            jnp.eye(b, dtype=dtype)[:, :, None], (b, b, half)
         )
-        Gs = jnp.concatenate(
-            [g_new, jnp.zeros((b, r, half), dtype)], axis=-1
+
+        def fwd(l, carry):
+            Ds, Es, Gs, st_su, st_sl, st_sg = carry
+            (d_new, e_new, g_new), (s_up, s_lo, s_g) = _cr_level_soa(
+                Ds, Es, Gs
+            )
+            st_su = jax.lax.dynamic_update_index_in_dim(st_su, s_up, l, 0)
+            st_sl = jax.lax.dynamic_update_index_in_dim(st_sl, s_lo, l, 0)
+            st_sg = jax.lax.dynamic_update_index_in_dim(st_sg, s_g, l, 0)
+            # Re-pad to k2: the eliminated tail becomes identity/zero — an
+            # exact fixed point of the next level's update.
+            Ds = jnp.concatenate([d_new, eye], axis=-1)
+            Es = jnp.concatenate(
+                [e_new, jnp.zeros((b, b, half), dtype)], axis=-1
+            )
+            Gs = jnp.concatenate(
+                [g_new, jnp.zeros((b, r, half), dtype)], axis=-1
+            )
+            return Ds, Es, Gs, st_su, st_sl, st_sg
+
+        # vary0 ties the stack initializers to D's varying manual axes
+        # (shard_map's fori carry check rejects plain unvarying zeros).
+        stacks = (
+            jnp.zeros((levels, b, b, half), dtype) + vary0,
+            jnp.zeros((levels, b, b, half), dtype) + vary0,
+            jnp.zeros((levels, b, r, half), dtype) + vary0,
         )
-        return Ds, Es, Gs, st_su, st_sl, st_sg
-
-    # A zero that carries D's varying manual axes: under shard_map (e.g.
-    # vmapped per-experiment solves inside a "dp" shard), plain zeros are
-    # unvarying and the fori_loop carry check rejects them.
-    vary0 = jnp.zeros((), dtype) * D.reshape(-1)[0]
-    stacks = (
-        jnp.zeros((levels, b, b, half), dtype) + vary0,
-        jnp.zeros((levels, b, b, half), dtype) + vary0,
-        jnp.zeros((levels, b, r, half), dtype) + vary0,
-    )
-    Ds, Es, Gs, st_su, st_sl, st_sg = jax.lax.fori_loop(
-        0, levels, fwd, (Ds, Es, Gs) + stacks
-    )
-
-    x0 = soa.chol_solve(soa.chol(Ds[..., :1]), Gs[..., :1])  # (b, r, 1)
-    X = jnp.concatenate(
-        [x0, jnp.zeros((b, r, k - 1), dtype) + vary0], axis=-1
-    )
-
-    def bwd(i, X):
-        l = levels - 1 - i
-        s_up = jax.lax.dynamic_index_in_dim(st_su, l, 0, keepdims=False)
-        s_lo = jax.lax.dynamic_index_in_dim(st_sl, l, 0, keepdims=False)
-        s_g = jax.lax.dynamic_index_in_dim(st_sg, l, 0, keepdims=False)
-        x_ev = X[..., :half]
-        x_right = jnp.concatenate(
-            [x_ev[..., 1:], jnp.zeros_like(x_ev[..., :1])], axis=-1
+        Ds, Es, Gs, st_su, st_sl, st_sg = jax.lax.fori_loop(
+            0, levels, fwd, (Ds, Es, Gs) + stacks
         )
-        # x_odd = D_odd^{-1}(g - e_up^T x_ev - e_lo x_right) expressed via
-        # the stored Schur factors: no solve in the backward sweep.
-        x_odd = s_g - soa.mm(s_up, x_ev) - soa.mm(s_lo, x_right)
-        return jnp.stack([x_ev, x_odd], axis=-1).reshape(b, r, k)
 
-    X = jax.lax.fori_loop(0, levels, bwd, X)
+        # -- stage 3: sequential Thomas on the `tail`-block active prefix ---
+        x_tail = blocktri_solve_scan(
+            soa.to_aos(Ds[..., :tail]),
+            soa.to_aos(Es[..., :tail]),
+            soa.to_aos(Gs[..., :tail]),
+        )
+        X = jnp.concatenate(
+            [soa.from_aos(x_tail),
+             jnp.zeros((b, r, k2 - tail), dtype) + vary0],
+            axis=-1,
+        )
+
+        def bwd(i, X):
+            l = levels - 1 - i
+            s_up = jax.lax.dynamic_index_in_dim(st_su, l, 0, keepdims=False)
+            s_lo = jax.lax.dynamic_index_in_dim(st_sl, l, 0, keepdims=False)
+            s_g = jax.lax.dynamic_index_in_dim(st_sg, l, 0, keepdims=False)
+            return _cr_backsub_soa(X[..., :half], s_up, s_lo, s_g)
+
+        X = jax.lax.fori_loop(0, levels, bwd, X)
+    else:
+        # Small chain: straight to the sequential Thomas solve.
+        X = soa.from_aos(blocktri_solve_scan(
+            soa.to_aos(Ds), soa.to_aos(Es), soa.to_aos(Gs)
+        ))
+
+    # -- stage 1 back-substitution (reverse order, shapes re-double) ---------
+    for s_up, s_lo, s_g in reversed(static_stack):
+        X = _cr_backsub_soa(X, s_up, s_lo, s_g)
+
     X = soa.to_aos(X)[:k0]
     return X[..., 0] if squeeze else X
 

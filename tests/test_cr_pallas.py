@@ -1,0 +1,40 @@
+"""Per-level Pallas CR kernels vs the XLA SoA path (interpret mode on CPU,
+SURVEY.md §4 sanitizer tier)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collocfem_tpu.solve.blocktri import blocktri_solve_cr
+
+
+def _system(rng, k, b, r, dtype=np.float64):
+    A = rng.standard_normal((k, b, b)).astype(dtype)
+    D = jnp.asarray(A @ A.transpose(0, 2, 1) + 4 * b * np.eye(b, dtype=dtype))
+    E = jnp.asarray(0.25 * rng.standard_normal((k, b, b)).astype(dtype))
+    G = jnp.asarray(rng.standard_normal((k, b, r)).astype(dtype))
+    return D, E, G
+
+
+@pytest.mark.parametrize("k,b,r", [(256, 8, 3), (130, 4, 1), (2048, 8, 3)])
+def test_pallas_cr_matches_xla_path(k, b, r):
+    rng = np.random.default_rng(0)
+    D, E, G = _system(rng, k, b, r)
+    X_xla = blocktri_solve_cr(D, E, G, pallas=False)
+    X_pl = blocktri_solve_cr(D, E, G, pallas=True)  # interpret on CPU
+    np.testing.assert_allclose(
+        np.asarray(X_pl), np.asarray(X_xla), rtol=1e-9, atol=1e-10
+    )
+
+
+def test_pallas_cr_residual():
+    rng = np.random.default_rng(1)
+    D, E, G = _system(rng, 512, 6, 2)
+    X = blocktri_solve_cr(D, E, G, pallas=True)
+    AX = jnp.einsum("kij,kjr->kir", D, X)
+    AX = AX.at[:-1].add(jnp.einsum("kij,kjr->kir", E[:-1], X[1:]))
+    AX = AX.at[1:].add(jnp.einsum("kji,kjr->kir", E[:-1], X[:-1]))
+    np.testing.assert_allclose(np.asarray(AX), np.asarray(G), atol=1e-9)
