@@ -37,6 +37,10 @@ from collocfem_tpu.ops import smallblocks_soa as soa
 _cholesky = smallblocks.chol
 _chol_solve = smallblocks.chol_solve
 
+# Minimum chain length for which a CR level runs as a Pallas kernel on TPU
+# (smaller levels are cheap on the XLA path; this bounds Mosaic compiles).
+_PALLAS_MIN = 2048
+
 
 def _mm(a, b):
     return einsum_hp("...ij,...jk->...ik", a, b, preferred_element_type=a.dtype)
@@ -212,7 +216,8 @@ def _cr_backsub_soa(x_even, s_up, s_lo, s_g):
 
 
 def blocktri_solve_cr(D, E, G, *, unroll: int = 3, tail: int = 32,
-                      pallas: bool | None = None):
+                      pallas: bool | None = None,
+                      pallas_min: int = _PALLAS_MIN):
     """Pivot-free SPD block cyclic reduction, fixed-shape / SoA / single-trace.
 
     Each level eliminates the odd-indexed blocks in one *batched* Cholesky +
@@ -262,26 +267,20 @@ def blocktri_solve_cr(D, E, G, *, unroll: int = 3, tail: int = 32,
 
     Ds, Es, Gs = soa.from_aos(D), soa.from_aos(E), soa.from_aos(G)
 
-    # On TPU, run every level as a fused Pallas program (one forward + one
-    # backward Mosaic kernel per level): the XLA lowering of a level is
-    # hundreds of small elementwise kernels whose dispatch overhead
-    # dominates inside solver loops.
+    # -- stage 0 (TPU): big levels as fused Pallas programs -------------------
+    # One forward + one backward Mosaic kernel per level: the XLA lowering
+    # of a level is hundreds of small elementwise kernels whose dispatch
+    # overhead dominates inside solver loops.  Levels below _PALLAS_MIN are
+    # cheap either way and stay on the XLA path to bound Mosaic compiles.
     if pallas is None:
-        pallas = jax.default_backend() == "tpu" and k > tail
+        pallas = jax.default_backend() == "tpu" and k >= pallas_min
+    pl_stack = []
     if pallas:
         from collocfem_tpu.ops import cr_pallas
 
-        pl_stack = []
-        while Ds.shape[-1] > tail:
+        while Ds.shape[-1] >= pallas_min and Ds.shape[-1] > tail:
             (Ds, Es, Gs), fac = cr_pallas.cr_level(Ds, Es, Gs)
             pl_stack.append(fac)
-        X = soa.from_aos(blocktri_solve_scan(
-            soa.to_aos(Ds), soa.to_aos(Es), soa.to_aos(Gs)
-        ))
-        for s_up, s_lo, s_g in reversed(pl_stack):
-            X = cr_pallas.cr_backsub(X, s_up, s_lo, s_g)
-        X = soa.to_aos(X)[:k0]
-        return X[..., 0] if squeeze else X
 
     # -- stage 1: python-unrolled top levels (shapes truly halve) ------------
     static_stack = []
@@ -357,6 +356,13 @@ def blocktri_solve_cr(D, E, G, *, unroll: int = 3, tail: int = 32,
     # -- stage 1 back-substitution (reverse order, shapes re-double) ---------
     for s_up, s_lo, s_g in reversed(static_stack):
         X = _cr_backsub_soa(X, s_up, s_lo, s_g)
+
+    # -- stage 0 back-substitution (Pallas levels, outermost) ----------------
+    if pl_stack:
+        from collocfem_tpu.ops import cr_pallas
+
+        for s_up, s_lo, s_g in reversed(pl_stack):
+            X = cr_pallas.cr_backsub(X, s_up, s_lo, s_g)
 
     X = soa.to_aos(X)[:k0]
     return X[..., 0] if squeeze else X

@@ -24,7 +24,7 @@ def test_pallas_cr_matches_xla_path(k, b, r):
     rng = np.random.default_rng(0)
     D, E, G = _system(rng, k, b, r)
     X_xla = blocktri_solve_cr(D, E, G, pallas=False)
-    X_pl = blocktri_solve_cr(D, E, G, pallas=True)  # interpret on CPU
+    X_pl = blocktri_solve_cr(D, E, G, pallas=True, pallas_min=64)
     np.testing.assert_allclose(
         np.asarray(X_pl), np.asarray(X_xla), rtol=1e-9, atol=1e-10
     )
@@ -33,7 +33,7 @@ def test_pallas_cr_matches_xla_path(k, b, r):
 def test_pallas_cr_residual():
     rng = np.random.default_rng(1)
     D, E, G = _system(rng, 512, 6, 2)
-    X = blocktri_solve_cr(D, E, G, pallas=True)
+    X = blocktri_solve_cr(D, E, G, pallas=True, pallas_min=64)
     AX = jnp.einsum("kij,kjr->kir", D, X)
     AX = AX.at[:-1].add(jnp.einsum("kij,kjr->kir", E[:-1], X[1:]))
     AX = AX.at[1:].add(jnp.einsum("kji,kjr->kir", E[:-1], X[:-1]))
