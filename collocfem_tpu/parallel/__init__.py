@@ -13,6 +13,7 @@ distributed strategies the reference lacks (it is a single-process CPU code).
 """
 
 from collocfem_tpu.parallel.meshes import make_device_mesh
+from collocfem_tpu.parallel.sharded import make_sp_gn_solver
 from collocfem_tpu.parallel.spike import (
     blocktri_solve_spike,
     spike_chain_solver,
@@ -24,4 +25,5 @@ __all__ = [
     "blocktri_solve_spike",
     "spike_chain_solver",
     "spike_sharded_solver",
+    "make_sp_gn_solver",
 ]

@@ -196,6 +196,13 @@ class EstimationProblem:
     ) -> ProblemData:
         """Build the ProblemData pytree from raw sample arrays."""
         m = self.model
+        y_arr = np.atleast_2d(np.asarray(y_values, dtype=np.float64))
+        if y_arr.shape[-1] != m.ny:
+            raise ValueError(
+                f"y_values has {y_arr.shape[-1]} channel(s) but the model's "
+                f"output map h produces ny={m.ny} — a mismatch would "
+                "silently broadcast in the residual"
+            )
         yg, _, _, _ = group_measurements(
             self.mesh, meas_times, y_values, pad_to=self.mrows.shape[1]
         )

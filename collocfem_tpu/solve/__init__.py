@@ -2,6 +2,10 @@
 (SURVEY.md §1 L5, §2b: the TPU-native replacement for scipy/UMFPACK sparse
 factorization and for IPOPT on inequality-constrained problems)."""
 
+from collocfem_tpu.solve.covariance import (
+    parameter_covariance,
+    parameter_std,
+)
 from collocfem_tpu.solve.auglag import (
     ALBarrierOptions,
     OCPStats,
@@ -34,4 +38,6 @@ __all__ = [
     "OCPStats",
     "make_ocp_solver",
     "solve_ocp",
+    "parameter_covariance",
+    "parameter_std",
 ]

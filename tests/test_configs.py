@@ -52,7 +52,7 @@ def test_duffing_joint_map_estimation():
     )
     z0 = prob.initial_guess_from_data(t_meas, y, p0=[0.5, 1.0, 0.5])
     z, stats = make_gn_solver(
-        prob, SolverOptions(maxiter=60, gtol=1e-6, xtol=1e-10)
+        prob, SolverOptions(maxiter=60, gtol=1e-5, xtol=1e-10)
     )(z0, data)
 
     p = np.asarray(z.p)
