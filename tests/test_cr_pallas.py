@@ -19,7 +19,7 @@ def _system(rng, k, b, r, dtype=np.float64):
     return D, E, G
 
 
-@pytest.mark.parametrize("k,b,r", [(256, 8, 3), (130, 4, 1), (2048, 8, 3)])
+@pytest.mark.parametrize("k,b,r", [(256, 8, 3), (130, 4, 1), (1024, 8, 3)])
 def test_pallas_cr_matches_xla_path(k, b, r):
     rng = np.random.default_rng(0)
     D, E, G = _system(rng, k, b, r)
