@@ -134,6 +134,59 @@ def _fwd_kernel(de_ref, do_ref, eu_ref, el_ref, ge_ref, go_ref,
     _write(cg_ref, cross_g, r)
 
 
+def _factor_kernel(de_ref, do_ref, eu_ref, el_ref,
+                   dn_ref, en_ref, su_ref, sl_ref, lo_ref, cd_ref,
+                   *, b: int):
+    """G-independent level half: eliminate + emit factors (incl. L rows)."""
+    d_even = _read(de_ref, b, b)
+    d_odd = _read(do_ref, b, b)
+    e_up = _read(eu_ref, b, b)
+    e_lo = _read(el_ref, b, b)
+
+    L, inv = _chol_rows(d_odd, b)
+    s_up = _chol_solve_rows(L, inv, _t_rows(e_up, b, b), b, b)
+    s_lo = _chol_solve_rows(L, inv, e_lo, b, b)
+
+    eu_sup = _mm_rows(e_up, s_up, b, b, b)
+    cross_d = _mm_rows(_t_rows(e_lo, b, b), s_lo, b, b, b)
+    d_new = [
+        [d_even[i][j] - eu_sup[i][j] for j in range(b)] for i in range(b)
+    ]
+    eu_slo = _mm_rows(e_up, s_lo, b, b, b)
+    e_new = [[-eu_slo[i][j] for j in range(b)] for i in range(b)]
+
+    zero = jnp.zeros_like(L[0][0])
+    L_full = [[L[i][j] if j <= i else zero for j in range(b)]
+              for i in range(b)]
+    _write(dn_ref, d_new, b)
+    _write(en_ref, e_new, b)
+    _write(su_ref, s_up, b)
+    _write(sl_ref, s_lo, b)
+    _write(lo_ref, L_full, b)
+    _write(cd_ref, cross_d, b)
+
+
+def _apply_kernel(lo_ref, eu_ref, el_ref, ge_ref, go_ref,
+                  gn_ref, sg_ref, cg_ref, *, b: int, r: int):
+    """RHS level half: reduce G through the stored factorization."""
+    L = _read(lo_ref, b, b)
+    inv = [1.0 / L[i][i] for i in range(b)]
+    e_up = _read(eu_ref, b, b)
+    e_lo = _read(el_ref, b, b)
+    g_even = _read(ge_ref, b, r)
+    g_odd = _read(go_ref, b, r)
+
+    s_g = _chol_solve_rows(L, inv, g_odd, b, r)
+    eu_sg = _mm_rows(e_up, s_g, b, b, r)
+    cross_g = _mm_rows(_t_rows(e_lo, b, b), s_g, b, b, r)
+    g_new = [
+        [g_even[i][c] - eu_sg[i][c] for c in range(r)] for i in range(b)
+    ]
+    _write(gn_ref, g_new, r)
+    _write(sg_ref, s_g, r)
+    _write(cg_ref, cross_g, r)
+
+
 def _bwd_kernel(xe_ref, xr_ref, su_ref, sl_ref, sg_ref, xo_ref,
                 *, b: int, r: int):
     xe = _read(xe_ref, b, r)
@@ -214,6 +267,91 @@ def cr_level(Ds, Es, Gs, *, interpret=None):
     return (
         (_unrows(dn, b, b), _unrows(en, b, b), _unrows(gn, b, r)),
         (_unrows(su, b, b), _unrows(sl, b, b), _unrows(sg, b, r)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cr_level_factor(Ds, Es, *, interpret=None):
+    """G-independent Pallas level: (b, b, m) -> halved (D, E) + factors.
+
+    The returned factor tuple (lo, eu, el, su, sl) is in row form
+    ((b*b, h) each) and feeds :func:`cr_level_apply` / :func:`cr_backsub`.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, m = Ds.shape[0], Ds.shape[-1]
+    h = m // 2
+    t = min(_TILE, h)
+    ng = h // t
+    dtype = Ds.dtype
+
+    def split2(A, c):
+        A4 = A.reshape(b * c, h, 2)
+        return A4[..., 0], A4[..., 1]
+
+    de, do = split2(Ds, b)
+    eu, el = split2(Es, b)
+    spec = lambda rows: pl.BlockSpec(
+        (rows, t), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    shp = lambda rows: jax.ShapeDtypeStruct((rows, h), dtype)
+    dn, en, su, sl, lo, cd = pl.pallas_call(
+        functools.partial(_factor_kernel, b=b),
+        grid=(ng,),
+        in_specs=[spec(b * b)] * 4,
+        out_specs=tuple([spec(b * b)] * 6),
+        out_shape=tuple([shp(b * b)] * 6),
+        interpret=interpret,
+    )(de, do, eu, el)
+    shift = lambda a: jnp.concatenate(
+        [jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=-1
+    )
+    dn = dn - shift(cd)
+    return (
+        (_unrows(dn, b, b), _unrows(en, b, b)),
+        (lo, eu, el, su, sl),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cr_level_apply(fac, Gs, *, interpret=None):
+    """RHS Pallas level: reduce G through stored factors -> (g_new, s_g)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    lo, eu, el, _, _ = fac
+    b = Gs.shape[0]
+    r = Gs.shape[1]
+    h = lo.shape[-1]
+    t = min(_TILE, h)
+    ng = h // t
+    G4 = Gs.reshape(b * r, h, 2)
+    ge, go = G4[..., 0], G4[..., 1]
+    spec = lambda rows: pl.BlockSpec(
+        (rows, t), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    shp = lambda rows: jax.ShapeDtypeStruct((rows, h), Gs.dtype)
+    gn, sg, cg = pl.pallas_call(
+        functools.partial(_apply_kernel, b=b, r=r),
+        grid=(ng,),
+        in_specs=[spec(b * b)] * 3 + [spec(b * r)] * 2,
+        out_specs=tuple([spec(b * r)] * 3),
+        out_shape=tuple([shp(b * r)] * 3),
+        interpret=interpret,
+    )(lo, eu, el, ge, go)
+    shift = lambda a: jnp.concatenate(
+        [jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=-1
+    )
+    gn = gn - shift(cg)
+    return _unrows(gn, b, r), _unrows(sg, b, r)
+
+
+def cr_backsub_rows(x_even, fac_rows, s_g, *, interpret=None):
+    """Back-substitution taking the row-form factor tuple + SoA s_g."""
+    _, _, _, su, sl = fac_rows
+    b, r, h = x_even.shape
+    return cr_backsub(
+        x_even, _unrows(su, b, b), _unrows(sl, b, b), s_g,
+        interpret=interpret,
     )
 
 

@@ -172,32 +172,49 @@ def blocktri_solve_cr_unrolled(D, E, G):
     return x[..., 0] if squeeze else x
 
 
-def _cr_level_soa(Ds, Es, Gs):
-    """One SoA cyclic-reduction level: eliminate odd blocks, halve the chain.
+def _soa_split(A):
+    """(b, c, K) -> even/odd (b, c, K/2): contiguous pair reshape."""
+    half = A.shape[-1] // 2
+    A5 = A.reshape(A.shape[0], A.shape[1], half, 2)
+    return A5[..., 0], A5[..., 1]
 
-    Shapes (b, ·, K) -> (b, ·, K/2).  Returns the reduced system and the
-    Schur factors (s_up, s_lo, s_g) needed for back-substitution.
+
+def _cr_level_factor_soa(Ds, Es):
+    """G-independent half of one SoA CR level: eliminate, halve, factorize.
+
+    Returns ((d_new, e_new), level_factors) where level_factors =
+    (l_odd, e_up, e_lo, s_up, s_lo) is everything a later RHS sweep needs.
     """
-    b = Ds.shape[0]
-    half = Ds.shape[-1] // 2
-
-    def split(A):
-        A5 = A.reshape(A.shape[0], A.shape[1], half, 2)
-        return A5[..., 0], A5[..., 1]
-
-    d_even, d_odd = split(Ds)
-    e_up, e_lo = split(Es)
-    g_even, g_odd = split(Gs)
+    d_even, d_odd = _soa_split(Ds)
+    e_up, e_lo = _soa_split(Es)
     l_odd = soa.chol(d_odd)
     s_up = soa.chol_solve(l_odd, soa.transpose(e_up))
     s_lo = soa.chol_solve(l_odd, e_lo)
-    s_g = soa.chol_solve(l_odd, g_odd)
 
     d_new = d_even - soa.mm(e_up, s_up)
     d_new = d_new.at[..., 1:].add(-soa.mtm(e_lo, s_lo)[..., :-1])
+    e_new = -soa.mm(e_up, s_lo)
+    return (d_new, e_new), (l_odd, e_up, e_lo, s_up, s_lo)
+
+
+def _cr_level_apply_soa(fac, Gs):
+    """RHS half of one SoA CR level: reduce G using stored factors.
+
+    Returns (g_new, s_g); s_g joins (s_up, s_lo) for back-substitution.
+    """
+    l_odd, e_up, e_lo, _, _ = fac
+    g_even, g_odd = _soa_split(Gs)
+    s_g = soa.chol_solve(l_odd, g_odd)
     g_new = g_even - soa.mm(e_up, s_g)
     g_new = g_new.at[..., 1:].add(-soa.mtm(e_lo, s_g)[..., :-1])
-    e_new = -soa.mm(e_up, s_lo)
+    return g_new, s_g
+
+
+def _cr_level_soa(Ds, Es, Gs):
+    """One fused SoA CR level (factor + RHS sweep in one pass)."""
+    (d_new, e_new), fac = _cr_level_factor_soa(Ds, Es)
+    g_new, s_g = _cr_level_apply_soa(fac, Gs)
+    _, _, _, s_up, s_lo = fac
     return (d_new, e_new, g_new), (s_up, s_lo, s_g)
 
 
@@ -366,6 +383,156 @@ def blocktri_solve_cr(D, E, G, *, unroll: int = 3, tail: int = 32,
 
     X = soa.to_aos(X)[:k0]
     return X[..., 0] if squeeze else X
+
+
+def blocktri_cr_factor(D, E, *, unroll: int = 3, tail: int = 32,
+                       pallas: bool | None = None,
+                       pallas_min: int = _PALLAS_MIN):
+    """Factorize once, solve many: returns ``apply(G) -> X``.
+
+    Splits the cyclic reduction into its G-independent factorization (one
+    Cholesky + two triangular multi-solves per level — the bulk of the
+    work) and a cheap per-RHS sweep, so iterative refinement and repeated
+    solves against the same damped KKT matrix (solve.kkt) reuse the
+    factors.  Mirrors :func:`blocktri_solve_cr`'s hybrid Pallas / unrolled /
+    fixed-shape-fori / scan-tail level schedule.
+    """
+    k0, b, _ = D.shape
+    dtype = D.dtype
+    zero_g = jnp.zeros((k0, b, 1), dtype)
+    D, E, _ = _pad_pow2(D, E, zero_g)
+    k = D.shape[0]
+    vary0 = jnp.zeros((), dtype) * D.reshape(-1)[0]
+    Ds, Es = soa.from_aos(D), soa.from_aos(E)
+
+    if pallas is None:
+        pallas = jax.default_backend() == "tpu" and k >= pallas_min
+    if pallas:
+        from collocfem_tpu.ops import cr_pallas
+
+    # -- stage 0: Pallas levels ------------------------------------------------
+    pl_facs = []
+    while pallas and Ds.shape[-1] >= pallas_min and Ds.shape[-1] > tail:
+        (Ds, Es), fac = cr_pallas.cr_level_factor(Ds, Es)
+        pl_facs.append(fac)
+
+    # -- stage 1: python-unrolled levels ----------------------------------------
+    st_facs = []
+    while Ds.shape[-1] > tail and len(st_facs) < unroll:
+        (Ds, Es), fac = _cr_level_factor_soa(Ds, Es)
+        st_facs.append(fac)
+    k2 = Ds.shape[-1]
+
+    # -- stage 2: fixed-shape fori factorization --------------------------------
+    fori_levels = 0
+    fori_stacks = None
+    if k2 > tail:
+        fori_levels = (k2 // tail).bit_length() - 1
+        half = k2 // 2
+        eye = jnp.broadcast_to(
+            jnp.eye(b, dtype=dtype)[:, :, None], (b, b, half)
+        )
+
+        def ffwd(l, carry):
+            Ds, Es, s_lo_, s_eu, s_el, s_su, s_sl = carry
+            (d_new, e_new), (lo, eu, el, su, sl) = _cr_level_factor_soa(
+                Ds, Es
+            )
+            upd = jax.lax.dynamic_update_index_in_dim
+            s_lo_ = upd(s_lo_, lo, l, 0)
+            s_eu = upd(s_eu, eu, l, 0)
+            s_el = upd(s_el, el, l, 0)
+            s_su = upd(s_su, su, l, 0)
+            s_sl = upd(s_sl, sl, l, 0)
+            Ds = jnp.concatenate([d_new, eye], axis=-1)
+            Es = jnp.concatenate(
+                [e_new, jnp.zeros((b, b, half), dtype)], axis=-1
+            )
+            return Ds, Es, s_lo_, s_eu, s_el, s_su, s_sl
+
+        zstack = lambda: jnp.zeros((fori_levels, b, b, half), dtype) + vary0
+        Ds, Es, *fori_stacks = jax.lax.fori_loop(
+            0, fori_levels, ffwd,
+            (Ds, Es, zstack(), zstack(), zstack(), zstack(), zstack()),
+        )
+
+    # -- tail system (refactorized per apply — 'tail' blocks, negligible) ------
+    tail_n = min(tail, Ds.shape[-1])
+    D_t = soa.to_aos(Ds[..., :tail_n])
+    E_t = soa.to_aos(Es[..., :tail_n])
+
+    def apply(G):
+        squeeze = G.ndim == 2
+        if squeeze:
+            G = G[..., None]
+        r = G.shape[-1]
+        if G.shape[0] < k:
+            G = jnp.concatenate(
+                [G, jnp.zeros((k - G.shape[0], b, r), dtype)], axis=0
+            )
+        Gs = soa.from_aos(G)
+
+        pl_sgs = []
+        for fac in pl_facs:
+            Gs, s_g = cr_pallas.cr_level_apply(fac, Gs)
+            pl_sgs.append(s_g)
+        st_sgs = []
+        for fac in st_facs:
+            Gs, s_g = _cr_level_apply_soa(fac, Gs)
+            st_sgs.append(s_g)
+
+        if fori_levels:
+            half = k2 // 2
+            s_lo_, s_eu, s_el, s_su, s_sl = fori_stacks
+            idx = jax.lax.dynamic_index_in_dim
+
+            def fapp(l, carry):
+                Gs, st_sg = carry
+                fac = (
+                    idx(s_lo_, l, 0, keepdims=False),
+                    idx(s_eu, l, 0, keepdims=False),
+                    idx(s_el, l, 0, keepdims=False),
+                    None, None,
+                )
+                g_new, s_g = _cr_level_apply_soa(fac, Gs)
+                st_sg = jax.lax.dynamic_update_index_in_dim(st_sg, s_g, l, 0)
+                Gs = jnp.concatenate(
+                    [g_new, jnp.zeros((b, r, half), dtype)], axis=-1
+                )
+                return Gs, st_sg
+
+            st_sg0 = jnp.zeros((fori_levels, b, r, half), dtype) + vary0
+            Gs, st_sg = jax.lax.fori_loop(0, fori_levels, fapp, (Gs, st_sg0))
+
+        # tail solve
+        X = soa.from_aos(blocktri_solve_scan(
+            D_t, E_t, soa.to_aos(Gs[..., :tail_n])
+        ))
+
+        # backsub: fori levels, then static, then pallas (reverse order)
+        if fori_levels:
+            def fbwd(i, X):
+                l = fori_levels - 1 - i
+                s_up = idx(s_su, l, 0, keepdims=False)
+                s_lo2 = idx(s_sl, l, 0, keepdims=False)
+                s_g = idx(st_sg, l, 0, keepdims=False)
+                return _cr_backsub_soa(X[..., :half], s_up, s_lo2, s_g)
+
+            # Pad X up to k2 so the fixed-shape bwd sees uniform shapes.
+            X = jnp.concatenate(
+                [X, jnp.zeros((b, r, k2 - tail_n), dtype) + vary0], axis=-1
+            )
+            X = jax.lax.fori_loop(0, fori_levels, fbwd, X)
+        for fac, s_g in zip(reversed(st_facs), reversed(st_sgs)):
+            _, _, _, s_up, s_lo2 = fac
+            X = _cr_backsub_soa(X, s_up, s_lo2, s_g)
+        for fac, s_g in zip(reversed(pl_facs), reversed(pl_sgs)):
+            X = cr_pallas.cr_backsub_rows(X, fac, s_g)
+
+        X = soa.to_aos(X)[:k0]
+        return X[..., 0] if squeeze else X
+
+    return apply
 
 
 SOLVERS = {

@@ -82,18 +82,26 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
         dx = d[: k * bd].reshape(k, bd)
         return dx, d[k * bd :]
 
-    solver = SOLVERS[method]
     s, inv_sx, inv_sp = _equilibrate(sys, lam)
+    if method == "cr":
+        # Factorize once; every solve (multi-RHS and each refinement pass)
+        # reuses the factors (blocktri_cr_factor).
+        from collocfem_tpu.solve.blocktri import blocktri_cr_factor
+
+        solve_once = blocktri_cr_factor(s.D, s.E)
+    else:
+        solver = SOLVERS[method]
+        solve_once = lambda G: solver(s.D, s.E, G)
 
     if nq == 0:
-        dx = -solver(s.D, s.E, s.gx[..., None])[..., 0]
+        dx = -solve_once(s.gx[..., None])[..., 0]
         for _ in range(refine):
             res = s.gx + blocktri_matvec(s.D, s.E, dx)
-            dx = dx - solver(s.D, s.E, res[..., None])[..., 0]
+            dx = dx - solve_once(res[..., None])[..., 0]
         return dx * inv_sx, jnp.zeros((0,), sys.D.dtype)
 
     rhs = jnp.concatenate([s.gx[..., None], s.B], axis=-1)  # (K, bd, 1+nq)
-    x = solver(s.D, s.E, rhs)
+    x = solve_once(rhs)
     a_g, a_b = x[..., 0], x[..., 1:]                # A^{-1}gx, A^{-1}B
     schur = s.C - einsum_hp("kbq,kbr->qr", s.B, a_b)
     rp = s.gp - einsum_hp("kbq,kb->q", s.B, a_g)
@@ -108,7 +116,7 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
             s.gp + einsum_hp("kbq,kb->q", s.B, dx)
             + einsum_hp("qr,r->q", s.C, dp)
         )
-        ax = solver(s.D, s.E, res_x[..., None])[..., 0]
+        ax = solve_once(res_x[..., None])[..., 0]
         cp = jnp.linalg.solve(
             schur, res_p - einsum_hp("kbq,kb->q", s.B, ax)
         )

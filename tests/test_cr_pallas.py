@@ -38,3 +38,22 @@ def test_pallas_cr_residual():
     AX = AX.at[:-1].add(jnp.einsum("kij,kjr->kir", E[:-1], X[1:]))
     AX = AX.at[1:].add(jnp.einsum("kji,kjr->kir", E[:-1], X[:-1]))
     np.testing.assert_allclose(np.asarray(AX), np.asarray(G), atol=1e-9)
+
+
+@pytest.mark.parametrize("pallas", [False, True])
+def test_factor_apply_matches_one_shot(pallas):
+    from collocfem_tpu.solve.blocktri import blocktri_cr_factor
+
+    rng = np.random.default_rng(3)
+    D, E, G = _system(rng, 300, 6, 2)
+    X_ref = blocktri_solve_cr(D, E, G, pallas=False)
+    apply = blocktri_cr_factor(D, E, pallas=pallas, pallas_min=64)
+    X1 = apply(G)
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X_ref),
+                               rtol=1e-9, atol=1e-10)
+    # Second apply with a different RHS reuses the same factors.
+    G2 = jnp.asarray(np.random.default_rng(4).standard_normal(G.shape))
+    X2 = apply(G2)
+    X2_ref = blocktri_solve_cr(D, E, G2, pallas=False)
+    np.testing.assert_allclose(np.asarray(X2), np.asarray(X2_ref),
+                               rtol=1e-9, atol=1e-10)
