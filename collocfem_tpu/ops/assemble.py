@@ -140,6 +140,99 @@ def assemble_gn(problem, z, data) -> BlockTriSystem:
     return BlockTriSystem(D=D, E=sys.E, B=sys.B, C=C, gx=gx, gp=gp)
 
 
+class BlockTriSystemSoA(NamedTuple):
+    """The same damped-GN system in structure-of-arrays layout.
+
+    The chain index K rides the LAST (vector-lane) axis of every field:
+    (K, b, b) block-major arrays tile-pad 16x on TPU and every layout
+    shuffle of them costs ~20 ms at K=10^4 — measured to dominate the whole
+    Newton iteration.  In SoA form the assembly scatters become static
+    slices and no transposes exist anywhere in the hot path.
+
+      D (bd, bd, K), E (bd, bd, K), B (bd, nq, K), gx (bd, K),
+      C (nq, nq), gp (nq,).
+    """
+
+    D: jnp.ndarray
+    E: jnp.ndarray
+    B: jnp.ndarray
+    C: jnp.ndarray
+    gx: jnp.ndarray
+    gp: jnp.ndarray
+
+    @property
+    def num_blocks(self) -> int:
+        return self.D.shape[-1]
+
+    @property
+    def block_size(self) -> int:
+        return self.D.shape[0]
+
+
+def assemble_gn_soa(problem, z, data) -> BlockTriSystemSoA:
+    """SoA twin of :func:`assemble_gn` — the TPU hot-path assembly.
+
+    Per-element jacfwd as in assemble_gn, but the normal-equation einsums
+    emit the element axis LAST and the block-chain scatter is two static
+    lane-slices (elements e -> chain slots e and e+1).
+    """
+    mesh, model = problem.mesh, problem.model
+    n, d, nv, nq = mesh.num_elements, mesh.degree, problem.nv, model.nq
+    k, bd = n + 1, d * nv
+    nx = model.nx
+
+    xe = problem.gather_elements(z.V)
+    ed = problem._elem_data(data)
+
+    def per_elem(xe_flat, edata):
+        r = problem.elem_residual(xe_flat, z.p, edata)
+        jx, jp = jax.jacfwd(problem.elem_residual, argnums=(0, 1))(
+            xe_flat, z.p, edata
+        )
+        return r, jx, jp
+
+    r, jx, jp = jax.vmap(per_elem, in_axes=(0, 0))(xe, ed)
+    hxx = einsum_hp("emi,emj->ije", jx, jx)          # (s, s, N)
+    hxp = einsum_hp("emi,emq->iqe", jx, jp)          # (s, nq, N)
+    hpp = einsum_hp("emq,emr->qr", jp, jp)           # (nq, nq)
+    gxe = einsum_hp("emi,em->ie", jx, r)             # (s, N)
+    gpe = einsum_hp("emq,em->q", jp, r)              # (nq,)
+
+    dtype = z.V.dtype
+    D = jnp.zeros((bd, bd, k), dtype)
+    D = D.at[:, :, :n].add(hxx[:bd, :bd])
+    D = D.at[:nv, :nv, 1:n + 1].add(hxx[bd:, bd:])
+    E = jnp.zeros((bd, bd, k), dtype)
+    E = E.at[:, :nv, :n].add(hxx[:bd, bd:])
+    B = jnp.zeros((bd, nq, k), dtype)
+    B = B.at[:, :, :n].add(hxp[:bd])
+    B = B.at[:nv, :, 1:n + 1].add(hxp[bd:])
+    gx = jnp.zeros((bd, k), dtype)
+    gx = gx.at[:, :n].add(gxe[:bd])
+    gx = gx.at[:nv, 1:n + 1].add(gxe[bd:])
+
+    # SPD identity on the trailing pad entries of the last block.
+    for i in range(nv, bd):
+        D = D.at[i, i, k - 1].add(1.0)
+
+    # Priors: parameter prior -> corner; x0 prior -> first nx of block 0.
+    pw2 = data.p_w**2
+    C = hpp + jnp.diag(pw2)
+    gp = gpe + pw2 * (z.p - data.p_prior)
+    x0w2 = data.x0_w**2
+    for i in range(nx):
+        D = D.at[i, i, 0].add(x0w2[i])
+    gx = gx.at[:nx, 0].add(x0w2 * (z.V[0, :nx] - data.x0_prior))
+
+    return BlockTriSystemSoA(D=D, E=E, B=B, C=C, gx=gx, gp=gp)
+
+
+def blocks_to_nodes_soa(dx: jnp.ndarray, num_nodes: int, nv: int) -> jnp.ndarray:
+    """(bd, K) SoA solution -> (M, nv) node values."""
+    bd, k = dx.shape
+    return dx.T.reshape(k * (bd // nv), nv)[:num_nodes]
+
+
 def materialize_dense(sys: BlockTriSystem) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Expand to a dense (K*bd+nq)^2 matrix + gradient (tests / tiny meshes)."""
     k, bd = sys.num_blocks, sys.block_size

@@ -385,45 +385,53 @@ def blocktri_solve_cr(D, E, G, *, unroll: int = 3, tail: int = 32,
     return X[..., 0] if squeeze else X
 
 
-def blocktri_cr_factor(D, E, *, unroll: int = 3, tail: int = 32,
-                       pallas: bool | None = None,
-                       pallas_min: int = _PALLAS_MIN):
-    """Factorize once, solve many: returns ``apply(G) -> X``.
+def _pad_pow2_soa(Ds, Es, k0):
+    """Pad SoA (b, b, K) system to a power-of-two chain with identity/zero."""
+    b = Ds.shape[0]
+    kp = 1 << max(0, (k0 - 1).bit_length())
+    if kp == k0:
+        return Ds, Es, k0
+    dtype = Ds.dtype
+    eye = jnp.broadcast_to(
+        jnp.eye(b, dtype=dtype)[:, :, None], (b, b, kp - k0)
+    )
+    Ds = jnp.concatenate([Ds, eye], axis=-1)
+    Es = Es.at[:, :, k0 - 1].set(0.0)
+    Es = jnp.concatenate(
+        [Es, jnp.zeros((b, b, kp - k0), dtype)], axis=-1
+    )
+    return Ds, Es, kp
 
-    Splits the cyclic reduction into its G-independent factorization (one
-    Cholesky + two triangular multi-solves per level — the bulk of the
-    work) and a cheap per-RHS sweep, so iterative refinement and repeated
-    solves against the same damped KKT matrix (solve.kkt) reuse the
-    factors.  Mirrors :func:`blocktri_solve_cr`'s hybrid Pallas / unrolled /
-    fixed-shape-fori / scan-tail level schedule.
-    """
-    k0, b, _ = D.shape
-    dtype = D.dtype
-    zero_g = jnp.zeros((k0, b, 1), dtype)
-    D, E, _ = _pad_pow2(D, E, zero_g)
-    k = D.shape[0]
-    vary0 = jnp.zeros((), dtype) * D.reshape(-1)[0]
-    Ds, Es = soa.from_aos(D), soa.from_aos(E)
+
+def blocktri_cr_factor_soa(Ds, Es, *, unroll: int = 3, tail: int = 32,
+                           pallas: bool | None = None,
+                           pallas_min: int = _PALLAS_MIN):
+    """SoA-native factor/apply: like :func:`blocktri_cr_factor` but takes
+    (b, b, K) inputs and returns ``apply(Gs (b, r, K)) -> X (b, r, K)`` with
+    no layout conversions anywhere (the block-major <-> SoA transposes cost
+    more than the factorization itself at K ~ 10^4 on TPU)."""
+    b = Ds.shape[0]
+    k0 = Ds.shape[-1]
+    dtype = Ds.dtype
+    Ds, Es, k = _pad_pow2_soa(Ds, Es, k0)
+    vary0 = jnp.zeros((), dtype) * Ds.reshape(-1)[0]
 
     if pallas is None:
         pallas = jax.default_backend() == "tpu" and k >= pallas_min
     if pallas:
         from collocfem_tpu.ops import cr_pallas
 
-    # -- stage 0: Pallas levels ------------------------------------------------
     pl_facs = []
     while pallas and Ds.shape[-1] >= pallas_min and Ds.shape[-1] > tail:
         (Ds, Es), fac = cr_pallas.cr_level_factor(Ds, Es)
         pl_facs.append(fac)
 
-    # -- stage 1: python-unrolled levels ----------------------------------------
     st_facs = []
     while Ds.shape[-1] > tail and len(st_facs) < unroll:
         (Ds, Es), fac = _cr_level_factor_soa(Ds, Es)
         st_facs.append(fac)
     k2 = Ds.shape[-1]
 
-    # -- stage 2: fixed-shape fori factorization --------------------------------
     fori_levels = 0
     fori_stacks = None
     if k2 > tail:
@@ -456,22 +464,16 @@ def blocktri_cr_factor(D, E, *, unroll: int = 3, tail: int = 32,
             (Ds, Es, zstack(), zstack(), zstack(), zstack(), zstack()),
         )
 
-    # -- tail system (refactorized per apply — 'tail' blocks, negligible) ------
     tail_n = min(tail, Ds.shape[-1])
     D_t = soa.to_aos(Ds[..., :tail_n])
     E_t = soa.to_aos(Es[..., :tail_n])
 
-    def apply(G):
-        squeeze = G.ndim == 2
-        if squeeze:
-            G = G[..., None]
-        r = G.shape[-1]
-        if G.shape[0] < k:
-            G = jnp.concatenate(
-                [G, jnp.zeros((k - G.shape[0], b, r), dtype)], axis=0
+    def apply(Gs):
+        r = Gs.shape[1]
+        if Gs.shape[-1] < k:
+            Gs = jnp.concatenate(
+                [Gs, jnp.zeros((b, r, k - Gs.shape[-1]), dtype)], axis=-1
             )
-        Gs = soa.from_aos(G)
-
         pl_sgs = []
         for fac in pl_facs:
             Gs, s_g = cr_pallas.cr_level_apply(fac, Gs)
@@ -495,21 +497,23 @@ def blocktri_cr_factor(D, E, *, unroll: int = 3, tail: int = 32,
                     None, None,
                 )
                 g_new, s_g = _cr_level_apply_soa(fac, Gs)
-                st_sg = jax.lax.dynamic_update_index_in_dim(st_sg, s_g, l, 0)
+                st_sg = jax.lax.dynamic_update_index_in_dim(
+                    st_sg, s_g, l, 0
+                )
                 Gs = jnp.concatenate(
                     [g_new, jnp.zeros((b, r, half), dtype)], axis=-1
                 )
                 return Gs, st_sg
 
             st_sg0 = jnp.zeros((fori_levels, b, r, half), dtype) + vary0
-            Gs, st_sg = jax.lax.fori_loop(0, fori_levels, fapp, (Gs, st_sg0))
+            Gs, st_sg = jax.lax.fori_loop(
+                0, fori_levels, fapp, (Gs, st_sg0)
+            )
 
-        # tail solve
         X = soa.from_aos(blocktri_solve_scan(
             D_t, E_t, soa.to_aos(Gs[..., :tail_n])
         ))
 
-        # backsub: fori levels, then static, then pallas (reverse order)
         if fori_levels:
             def fbwd(i, X):
                 l = fori_levels - 1 - i
@@ -518,9 +522,9 @@ def blocktri_cr_factor(D, E, *, unroll: int = 3, tail: int = 32,
                 s_g = idx(st_sg, l, 0, keepdims=False)
                 return _cr_backsub_soa(X[..., :half], s_up, s_lo2, s_g)
 
-            # Pad X up to k2 so the fixed-shape bwd sees uniform shapes.
             X = jnp.concatenate(
-                [X, jnp.zeros((b, r, k2 - tail_n), dtype) + vary0], axis=-1
+                [X, jnp.zeros((b, r, k2 - tail_n), dtype) + vary0],
+                axis=-1,
             )
             X = jax.lax.fori_loop(0, fori_levels, fbwd, X)
         for fac, s_g in zip(reversed(st_facs), reversed(st_sgs)):
@@ -528,8 +532,30 @@ def blocktri_cr_factor(D, E, *, unroll: int = 3, tail: int = 32,
             X = _cr_backsub_soa(X, s_up, s_lo2, s_g)
         for fac, s_g in zip(reversed(pl_facs), reversed(pl_sgs)):
             X = cr_pallas.cr_backsub_rows(X, fac, s_g)
+        return X[..., :k0]
 
-        X = soa.to_aos(X)[:k0]
+    return apply
+
+
+def blocktri_cr_factor(D, E, *, unroll: int = 3, tail: int = 32,
+                       pallas: bool | None = None,
+                       pallas_min: int = _PALLAS_MIN):
+    """Block-major wrapper around :func:`blocktri_cr_factor_soa`.
+
+    Factorize once, solve many: returns ``apply(G) -> X`` on (K, b, ·)
+    arrays.  Prefer the SoA variant in hot paths — these boundary
+    transposes are the expensive part at K ~ 10^4.
+    """
+    apply_soa = blocktri_cr_factor_soa(
+        soa.from_aos(D), soa.from_aos(E),
+        unroll=unroll, tail=tail, pallas=pallas, pallas_min=pallas_min,
+    )
+
+    def apply(G):
+        squeeze = G.ndim == 2
+        if squeeze:
+            G = G[..., None]
+        X = soa.to_aos(apply_soa(soa.from_aos(G)))
         return X[..., 0] if squeeze else X
 
     return apply

@@ -60,6 +60,95 @@ def blocktri_matvec(D, E, X):
     return y
 
 
+def _equilibrate_soa(sys, lam):
+    """Jacobi scaling of the damped SoA system (no layout shuffles)."""
+    bd = sys.block_size
+    nq = sys.C.shape[0]
+    dtype = sys.D.dtype
+    eye = jnp.eye(bd, dtype=dtype)[:, :, None]
+    Dd = sys.D + lam * eye
+    diag = jnp.stack([Dd[i, i] for i in range(bd)])         # (bd, K)
+    inv = 1.0 / jnp.sqrt(diag)
+    D = Dd * inv[:, None, :] * inv[None, :, :]
+    inv_next = jnp.concatenate(
+        [inv[:, 1:], jnp.ones_like(inv[:, :1])], axis=-1
+    )
+    E = sys.E * inv[:, None, :] * inv_next[None, :, :]
+    gx = sys.gx * inv
+    if nq:
+        c_damped = sys.C + lam * jnp.eye(nq, dtype=dtype)
+        inv_sp = 1.0 / jnp.sqrt(jnp.diag(c_damped))
+        B = sys.B * inv[:, None, :] * inv_sp[None, :, None]
+        C = c_damped * inv_sp[:, None] * inv_sp[None, :]
+        gp = sys.gp * inv_sp
+    else:
+        inv_sp = jnp.zeros((0,), dtype)
+        B, C, gp = sys.B, sys.C, sys.gp
+    return type(sys)(D=D, E=E, B=B, C=C, gx=gx, gp=gp), inv, inv_sp
+
+
+def _matvec_soa(D, E, X):
+    """y = A X in SoA: D/E (bd, bd, K), X (bd, K) — unrolled block rows."""
+    bd = D.shape[0]
+    rows = []
+    for i in range(bd):
+        s = sum(D[i, j] * X[j] for j in range(bd))
+        up = sum(E[i, j, :-1] * X[j, 1:] for j in range(bd))
+        lo = sum(E[j, i, :-1] * X[j, :-1] for j in range(bd))
+        s = s.at[:-1].add(up)
+        s = s.at[1:].add(lo)
+        rows.append(s)
+    return jnp.stack(rows)
+
+
+def solve_kkt_soa(sys, lam, refine: int = 0):
+    """SoA twin of :func:`solve_kkt` (sys: assemble.BlockTriSystemSoA).
+
+    The entire pipeline — equilibration, factorization, multi-RHS apply,
+    arrowhead Schur, iterative refinement — runs in the chain-on-lanes
+    layout with zero transposes; the block-major layout's (K, b, b)
+    tile-padding made each layout shuffle cost more than the factorization
+    itself at K ~ 10^4.  Returns (dx (bd, K), dp (nq,)).
+    """
+    from collocfem_tpu.solve.blocktri import blocktri_cr_factor_soa
+
+    nq = sys.C.shape[0]
+    s, inv, inv_sp = _equilibrate_soa(sys, lam)
+    apply_fn = blocktri_cr_factor_soa(s.D, s.E)
+
+    if nq == 0:
+        dx = -apply_fn(s.gx[:, None, :])[:, 0, :]
+        for _ in range(refine):
+            res = s.gx + _matvec_soa(s.D, s.E, dx)
+            dx = dx - apply_fn(res[:, None, :])[:, 0, :]
+        return dx * inv, jnp.zeros((0,), sys.D.dtype)
+
+    rhs = jnp.concatenate([s.gx[:, None, :], s.B], axis=1)  # (bd, 1+nq, K)
+    x = apply_fn(rhs)
+    a_g, a_b = x[:, 0, :], x[:, 1:, :]
+    schur = s.C - einsum_hp("bqk,brk->qr", s.B, a_b)
+    rp = s.gp - einsum_hp("bqk,bk->q", s.B, a_g)
+    dp = -jnp.linalg.solve(schur, rp)
+    dx = -(a_g + einsum_hp("bqk,q->bk", a_b, dp))
+    for _ in range(refine):
+        res_x = (
+            s.gx + _matvec_soa(s.D, s.E, dx)
+            + einsum_hp("bqk,q->bk", s.B, dp)
+        )
+        res_p = (
+            s.gp + einsum_hp("bqk,bk->q", s.B, dx)
+            + einsum_hp("qr,r->q", s.C, dp)
+        )
+        ax = apply_fn(res_x[:, None, :])[:, 0, :]
+        cp = jnp.linalg.solve(
+            schur, res_p - einsum_hp("bqk,bk->q", s.B, ax)
+        )
+        cx = ax - einsum_hp("bqk,q->bk", a_b, cp)
+        dx = dx - cx
+        dp = dp - cp
+    return dx * inv, dp * inv_sp
+
+
 def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
               refine: int = 0):
     """Solve [[A+lam I, B], [B^T, C+lam I]] [dx, dp] = -[gx, gp].

@@ -20,9 +20,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from collocfem_tpu.ops.assemble import assemble_gn, blocks_to_nodes
+from collocfem_tpu.ops.assemble import (
+    assemble_gn,
+    assemble_gn_soa,
+    blocks_to_nodes,
+    blocks_to_nodes_soa,
+)
 from collocfem_tpu.problem import Decision
-from collocfem_tpu.solve.kkt import solve_kkt
+from collocfem_tpu.solve.kkt import solve_kkt, solve_kkt_soa
 
 HISTORY_COLS = ("cost", "grad_norm", "lam", "step_norm", "accepted")
 
@@ -80,12 +85,24 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
     @jax.jit
     def solve(z0: Decision, data):
         def body(st: _LoopState) -> _LoopState:
-            sys = assemble_gn(problem, st.z, data)
+            # Default ("cr") hot path runs entirely in the SoA
+            # (chain-on-lanes) layout: block-major (K, b, b) arrays
+            # tile-pad 16x on TPU and their layout shuffles dominated the
+            # iteration (see solve.kkt).  Alternative methods keep the
+            # block-major path.
+            if opt.method == "cr":
+                sys = assemble_gn_soa(problem, st.z, data)
+            else:
+                sys = assemble_gn(problem, st.z, data)
             gnorm = jnp.maximum(
                 jnp.max(jnp.abs(sys.gx)), jnp.max(jnp.abs(sys.gp), initial=0.0)
             )
-            dx, dp = solve_kkt(sys, st.lam, opt.method, opt.kkt_refine)
-            dV = blocks_to_nodes(dx, num_nodes, nv)
+            if opt.method == "cr":
+                dx, dp = solve_kkt_soa(sys, st.lam, opt.kkt_refine)
+                dV = blocks_to_nodes_soa(dx, num_nodes, nv)
+            else:
+                dx, dp = solve_kkt(sys, st.lam, opt.method, opt.kkt_refine)
+                dV = blocks_to_nodes(dx, num_nodes, nv)
             z_try = Decision(V=st.z.V + dV, p=st.z.p + dp)
             c_try = problem.cost(z_try, data)
             step_norm = jnp.sqrt(jnp.sum(dV * dV) + jnp.sum(dp * dp))

@@ -99,3 +99,44 @@ def test_finite_difference_gradient():
         cm = prob.cost(Decision(z.V, z.p - dp), data)
         fd = float((cp - cm) / (2 * eps))
         assert abs(fd - gp[j]) < 1e-5 * max(1.0, abs(fd))
+
+
+def test_soa_assembly_matches_block_major():
+    # The SoA hot-path assembly must agree with the block-major reference.
+    import jax.numpy as jnp
+
+    from collocfem_tpu.ops.assemble import assemble_gn, assemble_gn_soa
+
+    prob, z, data = small_problem()
+    a = assemble_gn(prob, z, data)
+    s = assemble_gn_soa(prob, z, data)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(s.D, -1, 0)), np.asarray(a.D), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(s.E, -1, 0)), np.asarray(a.E), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(s.B, -1, 0)), np.asarray(a.B), atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(s.gx.T), np.asarray(a.gx), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.C), np.asarray(a.C), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.gp), np.asarray(a.gp), atol=1e-12)
+
+
+def test_solve_kkt_soa_matches_block_major():
+    import jax.numpy as jnp
+
+    from collocfem_tpu.ops.assemble import assemble_gn, assemble_gn_soa
+    from collocfem_tpu.solve.kkt import solve_kkt, solve_kkt_soa
+
+    prob, z, data = small_problem()
+    a = assemble_gn(prob, z, data)
+    s = assemble_gn_soa(prob, z, data)
+    lam = jnp.asarray(1e-4, prob.dtype)
+    dx_a, dp_a = solve_kkt(a, lam, "cr", refine=1)
+    dx_s, dp_s = solve_kkt_soa(s, lam, refine=1)
+    np.testing.assert_allclose(np.asarray(dx_s.T), np.asarray(dx_a),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dp_s), np.asarray(dp_a),
+                               rtol=1e-8, atol=1e-10)
