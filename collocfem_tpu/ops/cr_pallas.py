@@ -47,7 +47,8 @@ def _chol_rows(a, b):
         s = a[j][j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
-        d = jnp.sqrt(s)
+        # Clamp (see smallblocks.chol): finite junk over NaN poisoning.
+        d = jnp.sqrt(jnp.maximum(s, jnp.finfo(s.dtype).tiny))
         L[j][j] = d
         inv[j] = 1.0 / d
         for i in range(j + 1, b):

@@ -41,7 +41,10 @@ def chol(A):
         s = a[j][j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
-        d = jnp.sqrt(s)
+        # Clamp: in f32, near-singular damped systems can round the pivot
+        # negative; a junk-but-finite factor lets the LM reject the step
+        # gracefully instead of poisoning the solve with NaNs.
+        d = jnp.sqrt(jnp.maximum(s, jnp.finfo(s.dtype).tiny))
         L[j][j] = d
         inv[j] = 1.0 / d
         for i in range(j + 1, b):

@@ -60,6 +60,64 @@ def defect_error_indicator(problem: EstimationProblem, z: Decision,
     return np.asarray(jnp.mean(err, axis=1)) * mesh.widths
 
 
+def estimate_multilevel(
+    model,
+    meas_times,
+    y_values,
+    p0,
+    *,
+    t0,
+    tf,
+    num_elements,
+    degree: int = 4,
+    coarsen: int = 4,
+    levels: int = 3,
+    defect_weight=100.0,
+    pack_kwargs: dict | None = None,
+    options: SolverOptions = SolverOptions(),
+    u_nodes_fn=None,
+):
+    """Nested-iteration estimation: solve coarse, prolong, re-solve.
+
+    The float32 TPU path is conditioning-limited for single-shot solves on
+    very fine meshes: the Jacobi-equilibrated collocation chain behaves
+    like a 1-D Poisson operator with cond ~ K^2, which crosses the float32
+    Cholesky cliff (~1/eps) around K ~ 10^4.  Classic nested iteration
+    sidesteps it: converge on a coarse mesh (cond down by coarsen^2 per
+    level), interpolate the solution up, and let the fine level start in
+    the quadratic-convergence basin where large-lambda damped steps
+    suffice.  Returns (problem, z, stats, history) like estimate_adaptive.
+    """
+    pack_kwargs = dict(pack_kwargs or {})
+    ns = [max(2, int(np.ceil(num_elements / coarsen ** (levels - 1 - i))))
+          for i in range(levels)]
+    ns[-1] = num_elements
+    z = None
+    history = []
+    prev_mesh = None
+    for n in ns:
+        from collocfem_tpu.ops.mesh import uniform_mesh
+
+        mesh = uniform_mesh(t0, tf, n, degree)
+        prob = EstimationProblem.build(
+            model, mesh, meas_times, defect_weight=defect_weight
+        )
+        u_nodes = u_nodes_fn(mesh) if u_nodes_fn is not None else None
+        data = prob.pack_data(
+            y_values, meas_times, u_nodes=u_nodes, **pack_kwargs
+        )
+        if z is None:
+            z0 = prob.initial_guess_from_data(meas_times, y_values, p0=p0)
+        else:
+            V0 = interpolate_trajectory(prev_mesh, z.V, mesh.node_times)
+            z0 = Decision(V=jnp.asarray(V0, prob.dtype), p=z.p)
+        solve = make_gn_solver(prob, options)
+        z, stats = solve(z0, data)
+        history.append((mesh, np.asarray(z.p), float(stats.cost)))
+        prev_mesh = mesh
+    return prob, z, stats, history
+
+
 def estimate_adaptive(
     model,
     mesh0: Mesh,

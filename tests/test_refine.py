@@ -64,3 +64,22 @@ def test_indicator_zero_on_exact_polynomial():
     V = jnp.asarray(mesh.node_times)[:, None]
     ind = defect_error_indicator(prob, Decision(V=V, p=jnp.zeros(0)))
     assert np.max(ind) < 1e-10
+
+
+def test_multilevel_warm_start_converges():
+    # Nested iteration: coarse solve -> prolong -> fine solve (the supported
+    # path for very fine f32 meshes where single-shot conditioning ~ K^2
+    # crosses the float32 Cholesky cliff).
+    from collocfem_tpu.refine import estimate_multilevel
+
+    model, t_meas, y = _make_data()
+    prob, z, stats, hist = estimate_multilevel(
+        model, t_meas, y, [1.0, 0.0], t0=0.0, tf=TF,
+        num_elements=192, coarsen=4, levels=3, defect_weight=300.0,
+        options=SolverOptions(maxiter=60, gtol=1e-8, xtol=1e-10),
+    )
+    assert [h[0].num_elements for h in hist] == [12, 48, 192]
+    p = np.asarray(z.p)
+    assert abs(p[0] - MU) < 1e-3, p
+    # Each level's final cost is finite and the fine level converged.
+    assert all(np.isfinite(h[2]) for h in hist)
