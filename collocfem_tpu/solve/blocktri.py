@@ -13,9 +13,13 @@ hard part 1):
     in-shard local solver for the distributed SPIKE path).
   * ``blocktri_solve_cr``    — cyclic reduction: log2(K) levels, each level a
     *batched* Cholesky/triangular-solve over half the blocks (parallel depth
-    O(log K) — the TPU hot path; Pallas kernel variant in
-    ``collocfem_tpu.ops.blocktri_pallas``).
+    O(log K) — the TPU hot path; big levels run as fused Pallas kernels,
+    ``collocfem_tpu.ops.cr_pallas``).
+  * ``blocktri_cr_factor[_soa]`` — factor once / apply many (the SoA variant
+    is the zero-transpose hot path used by ``solve.kkt.solve_kkt_soa``).
   * ``blocktri_solve_dense`` — materialized dense solve (tests, tiny K).
+  * ``collocfem_tpu.ops.blocktri_pallas`` — separate fused batched Thomas
+    kernel for many short chains (the multi-experiment config).
 
 Convention: A[k,k] = D[k] (SPD, (K,b,b)); A[k,k+1] = E[k]; A[k+1,k] = E[k]^T,
 with E[K-1] ignored/zero.  Solves A X = G for G (K, b, r).
