@@ -33,6 +33,7 @@ class Model:
     nu: int = 0  # number of exogenous/decision inputs
     nq: int = 0  # number of unknown parameters
     ng: int = 0  # number of inequality path constraints
+    ne: int = 0  # number of equality path constraints
 
     def f(self, x, u, p, t):
         """State derivative dx/dt. Returns (nx,)."""
@@ -56,6 +57,18 @@ class Model:
 
     def g(self, x, u, p, t):
         """Inequality path constraints, enforced as g(...) <= 0. Returns (ng,)."""
+        del x, u, p, t
+        return jnp.zeros((0,))
+
+    def g_eq(self, x, u, p, t):
+        """Equality path constraints, enforced as g_eq(...) = 0. Returns (ne,).
+
+        Enforced at every global collocation node by the augmented-Lagrangian
+        OCP solver (solve.auglag), alongside the defect and boundary equality
+        groups.  Control-affine constraints (e.g. actuator coupling) are
+        well-posed; state-only equalities may conflict with the dynamics
+        (DAE index issues) and are the caller's responsibility.
+        """
         del x, u, p, t
         return jnp.zeros((0,))
 

@@ -24,7 +24,9 @@ Residual/constraint groups:
   * running + terminal cost in least-squares form (Model.running_cost_residual);
   * path constraints g(x, u, p, t) <= 0 at every global node (log barrier,
     whose Gauss-Newton Hessian is per-node PSD and lands in the block
-    diagonal).
+    diagonal);
+  * equality path constraints g_eq(x, u, p, t) = 0 at every global node
+    (augmented Lagrangian, same per-node block-diagonal structure).
 """
 
 from __future__ import annotations
@@ -45,10 +47,11 @@ from collocfem_tpu.problem import Decision
 class Multipliers(NamedTuple):
     """Augmented-Lagrangian multipliers for the equality constraint groups."""
 
-    defect: jnp.ndarray  # (N, d+1, nx) — defects at ALL nodes (see
-                         # ops.residual.defect_residual_all)
-    b0: jnp.ndarray      # (nx,)
-    bf: jnp.ndarray      # (nx,)
+    defect: jnp.ndarray   # (N, d+1, nx) — defects at ALL nodes (see
+                          # ops.residual.defect_residual_all)
+    b0: jnp.ndarray       # (nx,)
+    bf: jnp.ndarray       # (nx,)
+    path_eq: jnp.ndarray  # (M, ne) — equality path constraints per node
 
 
 def _mask_from_value(val, nx):
@@ -164,12 +167,21 @@ class OptimalControlProblem:
         x, _ = self.split(z.V)
         c0 = self.x0_mask * (x[0] - self.x0_val)
         cf = self.xf_mask * (x[-1] - self.xf_val)
-        return Multipliers(defect=c_def, b0=c0, bf=cf)
+        return Multipliers(
+            defect=c_def, b0=c0, bf=cf, path_eq=self.eq_path_constraints(z)
+        )
 
     def path_constraints(self, z: Decision) -> jnp.ndarray:
         """g(x, u, p, t) at every global node: (M, ng)."""
         x, u = self.split(z.V)
         return jax.vmap(self.model.g, in_axes=(0, 0, None, 0))(
+            x, u, z.p, self.node_times
+        )
+
+    def eq_path_constraints(self, z: Decision) -> jnp.ndarray:
+        """g_eq(x, u, p, t) at every global node: (M, ne)."""
+        x, u = self.split(z.V)
+        return jax.vmap(self.model.g_eq, in_axes=(0, 0, None, 0))(
             x, u, z.p, self.node_times
         )
 
@@ -189,6 +201,7 @@ class OptimalControlProblem:
             defect=jnp.zeros((n, d + 1, nx), self.dtype),
             b0=jnp.zeros((nx,), self.dtype),
             bf=jnp.zeros((nx,), self.dtype),
+            path_eq=jnp.zeros((self.num_nodes, self.model.ne), self.dtype),
         )
 
     def initial_guess(self, u0=0.0, p0=None) -> Decision:

@@ -3,7 +3,8 @@
 TPU-native replacement for the reference's IPOPT path (SURVEY.md §2b row 3,
 §3.3: interior-point NLP with Python callbacks every iteration).  Here the
 entire constrained solve is ONE jitted program: equality constraints
-(collocation defects, boundary conditions) via augmented Lagrangian in
+(collocation defects, boundary conditions, per-node equality path
+constraints g_eq(x,u,p,t)=0) via augmented Lagrangian in
 least-squares form, inequality path constraints via a log barrier whose
 Gauss-Newton Hessian is per-node PSD — so every inner iteration is the same
 damped block-tridiagonal(+arrowhead) solve as estimation
@@ -140,6 +141,22 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
         rf = sr * problem.xf_mask * (x[-1] - problem.xf_val) + mult.bf / sr
         return r0 * problem.x0_mask, rf * problem.xf_mask
 
+    # -- equality path constraints (per node, AL least-squares form) ----------
+    ne = getattr(model, "ne", 0)
+
+    def node_eq_res(v_n, p, lam_n, sr, t_n):
+        x_n, u_n = v_n[:nx], v_n[nx:]
+        return sr * model.g_eq(x_n, u_n, p, t_n) + lam_n / sr
+
+    def eq_path_merit(z, mult, rho):
+        if not ne:
+            return jnp.zeros((), problem.dtype)
+        sr = jnp.sqrt(rho)
+        r = jax.vmap(node_eq_res, in_axes=(0, None, 0, None, 0))(
+            z.V, z.p, mult.path_eq, sr, problem.node_times
+        )
+        return 0.5 * jnp.sum(r * r)
+
     # -- merit (must stay gradient-consistent with the assembly below) -------
     def merit(z, mult, rho, mu):
         ve = problem.gather_elements(z.V)
@@ -156,7 +173,7 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
             jnp.sum(r_el * r_el) + jnp.sum(r0 * r0) + jnp.sum(rf * rf)
             + jnp.sum(tr * tr)
         )
-        return 0.5 * lsq + _barrier_value(g, mu)
+        return 0.5 * lsq + _barrier_value(g, mu) + eq_path_merit(z, mult, rho)
 
     # -- assembly ------------------------------------------------------------
     def assemble(z, mult, rho, mu):
@@ -223,6 +240,26 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
         Hpp_bar = einsum_hp("mgq,mg,mgr->qr", jgp, w2, jgp)
         sys = _node_block_scatter(sys, Hn, Bn, gn, d)
         sys = sys._replace(C=sys.C + Hpp_bar, gp=sys.gp + gp_bar)
+
+        # Equality path constraints: per-node AL residuals, exact Gauss-Newton
+        # contributions (same block-diagonal landing zone as the barrier).
+        if ne:
+            def per_node(v_n, lam_n, t_n):
+                args = (v_n, z.p, lam_n, sr, t_n)
+                r_n = node_eq_res(*args)
+                jv_n, jp_n = jax.jacfwd(node_eq_res, argnums=(0, 1))(*args)
+                return r_n, jv_n, jp_n
+
+            r_eq, jev, jep = jax.vmap(per_node)(
+                z.V, mult.path_eq, problem.node_times
+            )
+            Hn_eq = einsum_hp("mei,mej->mij", jev, jev)
+            Bn_eq = einsum_hp("mei,meq->miq", jev, jep)
+            Hpp_eq = einsum_hp("meq,mer->qr", jep, jep)
+            gn_eq = einsum_hp("mei,me->mi", jev, r_eq)
+            gp_eq = einsum_hp("meq,me->q", jep, r_eq)
+            sys = _node_block_scatter(sys, Hn_eq, Bn_eq, gn_eq, d)
+            sys = sys._replace(C=sys.C + Hpp_eq, gp=sys.gp + gp_eq)
         return sys, gvals, jgv, jgp
 
     # -- fraction-to-boundary + feasibility backtracking ---------------------
@@ -311,6 +348,9 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
                     jnp.max(jnp.abs(c.b0), initial=0.0),
                     jnp.max(jnp.abs(c.bf), initial=0.0),
                 ),
+            )
+            cviol = jnp.maximum(
+                cviol, jnp.max(jnp.abs(c.path_eq), initial=0.0)
             )
             mult = jax.tree_util.tree_map(
                 lambda l, ci: l + rho * ci, mult, c

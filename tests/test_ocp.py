@@ -112,3 +112,76 @@ def test_pendulum_kkt_stationarity(pendulum_solution):
 
     grad = np.asarray(jax.grad(lagrangian)(z.V))
     assert np.max(np.abs(grad)) < 1e-5, np.max(np.abs(grad))
+
+
+class SplitActuatorIntegrator(Model):
+    """Double integrator driven by two coupled actuators.
+
+    x1' = x2, x2' = u1 + u2 with the equality path constraint u1 = 2 u2 and
+    cost 0.5 int (u1^2 + u2^2).  Eliminating the constraint gives accel
+    a = 3 u2 and cost 0.5 int (5/9) a^2 — the same minimum-effort transfer
+    as the unconstrained double integrator (scaling the effort weight does
+    not move the minimizer), so a*(t) = 6 - 12 t and J* = (5/9) * 6 = 10/3.
+    """
+
+    nx = 2
+    nu = 2
+    nq = 0
+    ng = 0
+    ne = 1
+
+    def f(self, x, u, p, t):
+        del p, t
+        return jnp.stack([x[1], u[0] + u[1]])
+
+    def g_eq(self, x, u, p, t):
+        del x, p, t
+        return jnp.stack([u[0] - 2.0 * u[1]])
+
+    def running_cost_residual(self, x, u, p, t):
+        del x, p, t
+        return u
+
+
+@pytest.fixture(scope="module")
+def split_actuator_solution():
+    model = SplitActuatorIntegrator()
+    mesh = uniform_mesh(0.0, 1.0, num_elements=8, degree=4)
+    prob = OptimalControlProblem.build(model, mesh, x0=[0.0, 0.0], xf=[1.0, 0.0])
+    solve = make_ocp_solver(prob, ALBarrierOptions(n_outer=12))
+    z, stats = solve(prob.initial_guess())
+    return model, mesh, prob, z, stats
+
+
+def test_equality_path_constraint_matches_analytic(split_actuator_solution):
+    model, mesh, prob, z, stats = split_actuator_solution
+    assert float(stats.cviol) < 1e-8  # includes max |u1 - 2 u2| over nodes
+    assert abs(float(stats.objective) - 10.0 / 3.0) < 1e-5
+    _, u = prob.split(z.V)
+    u = np.asarray(u)
+    np.testing.assert_allclose(u[:, 0], 2.0 * u[:, 1], atol=1e-8)
+    tt = np.linspace(0, 1, 101)
+    vals = np.asarray(interpolate_trajectory(mesh, z.V, tt))
+    np.testing.assert_allclose(vals[:, 0], 3 * tt**2 - 2 * tt**3, atol=1e-6)
+    np.testing.assert_allclose(vals[:, 2] + vals[:, 3], 6 - 12 * tt, atol=1e-4)
+
+
+def test_equality_path_kkt_stationarity(split_actuator_solution):
+    # External first-order check including the per-node equality-path
+    # multipliers: grad_V [ J + lam_def.c_def + lam_b.c_b + lam_eq.g_eq ] ~ 0.
+    model, mesh, prob, z, stats = split_actuator_solution
+    mult = stats.multipliers
+
+    def lagrangian(V):
+        zz = Decision(V=V, p=z.p)
+        c = prob.constraints(zz)
+        return (
+            prob.objective(zz)
+            + jnp.sum(mult.defect * c.defect)
+            + jnp.sum(mult.b0 * c.b0)
+            + jnp.sum(mult.bf * c.bf)
+            + jnp.sum(mult.path_eq * c.path_eq)
+        )
+
+    grad = np.asarray(jax.grad(lagrangian)(z.V))
+    assert np.max(np.abs(grad)) < 1e-5, np.max(np.abs(grad))
