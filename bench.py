@@ -30,6 +30,10 @@ def run(elements):
     import jax
     import jax.numpy as jnp
 
+    from collocfem_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # skip the ~2 min recompile on repeat runs
+
     from baseline_cpu.run_baseline import build_headline_problem
     from collocfem_tpu.models import VanDerPol
     from collocfem_tpu.problem import EstimationProblem
@@ -53,15 +57,22 @@ def run(elements):
 
     t0 = time.perf_counter()
     z, stats = solve(z0, data)          # compile + warmup
-    jax.block_until_ready(z)
+    jax.block_until_ready((z, stats))
+    float(np.asarray(stats.cost))
     print(f"compile+first-run: {time.perf_counter() - t0:.1f} s",
           file=sys.stderr)
 
+    # Each rep ends with a scalar device->host fetch: through the tunneled
+    # device, block_until_ready was observed returning early while the chip
+    # was wedging, which silently reports ~0 s walls. A d2h read cannot
+    # complete before the computation has; its ~30 ms RPC latency is
+    # included (slightly pessimistic, but trustworthy).
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         z, stats = solve(z0, data)
-        jax.block_until_ready(z)
+        jax.block_until_ready((z, stats))
+        float(np.asarray(stats.cost))
         times.append(time.perf_counter() - t0)
     wall = min(times)
 

@@ -103,20 +103,22 @@ class OptimalControlProblem:
         qscale = np.sqrt(w[None, :] * h[:, None] * 0.5)
         x0v, x0m = _mask_from_value(x0, nx)
         xfv, xfm = _mask_from_value(xf, nx)
+        # Host-side (numpy) tables: see EstimationProblem.build — device-
+        # resident closure constants cost a d2h fetch per array at lowering.
         return OptimalControlProblem(
             model=model,
             mesh=mesh,
-            diff=jnp.asarray(mesh.basis.diff, dtype),
-            widths=jnp.asarray(h, dtype),
-            elem_times=jnp.asarray(mesh.elem_times, dtype),
-            cscale=jnp.asarray(cscale, dtype),
-            qscale=jnp.asarray(qscale, dtype),
-            node_times=jnp.asarray(mesh.node_times, dtype),
+            diff=np.asarray(mesh.basis.diff, dtype),
+            widths=np.asarray(h, dtype),
+            elem_times=np.asarray(mesh.elem_times, dtype),
+            cscale=np.asarray(cscale, dtype),
+            qscale=np.asarray(qscale, dtype),
+            node_times=np.asarray(mesh.node_times, dtype),
             node_idx=mesh.elem_node_idx,
-            x0_val=jnp.asarray(x0v, dtype),
-            x0_mask=jnp.asarray(x0m, dtype),
-            xf_val=jnp.asarray(xfv, dtype),
-            xf_mask=jnp.asarray(xfm, dtype),
+            x0_val=np.asarray(x0v, dtype),
+            x0_mask=np.asarray(x0m, dtype),
+            xf_val=np.asarray(xfv, dtype),
+            xf_mask=np.asarray(xfm, dtype),
             dtype=dtype,
         )
 

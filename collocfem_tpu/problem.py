@@ -11,9 +11,10 @@ TPU-first design
 The reference assembles a global ``scipy.sparse`` matrix; here **no global
 sparse matrix ever exists**.  A problem is split into
 
-  * a static :class:`EstimationProblem` — model + precomputed device-resident
+  * a static :class:`EstimationProblem` — model + precomputed host-side
     tables (differentiation matrix, widths, interpolation rows, masks), baked
-    into the jitted computation as constants, and
+    into the jitted computation as constants (XLA moves them to the device
+    once at execution), and
   * a :class:`ProblemData` pytree — measurement values, inputs, priors and
     weights — passed as a traced argument so the *same compiled program*
     serves every experiment (and vmaps over batches of experiments,
@@ -136,7 +137,7 @@ class EstimationProblem:
 
     model: Model
     mesh: Mesh
-    # Device-resident tables:
+    # Host-side constant tables (numpy; see build() for why not device):
     diff: jnp.ndarray        # (d+1, d+1)
     widths: jnp.ndarray      # (N,)
     elem_times: jnp.ndarray  # (N, d+1)
@@ -169,16 +170,21 @@ class EstimationProblem:
         h = mesh.widths  # (N,)
         dw = np.broadcast_to(np.asarray(defect_weight, dtype=np.float64), (nx,))
         scale = np.sqrt(w[None, :, None] * h[:, None, None] * 0.5) * dw
+        # Tables stay HOST-side (numpy): jit captures them as closure
+        # constants, and lowering a device-resident constant costs a
+        # device->host fetch (tens of seconds per array through a tunneled
+        # TPU). numpy constants embed straight from host memory and move to
+        # the device once, at execution.
         return EstimationProblem(
             model=model,
             mesh=mesh,
-            diff=jnp.asarray(mesh.basis.diff, dtype),
-            widths=jnp.asarray(h, dtype),
-            elem_times=jnp.asarray(mesh.elem_times, dtype),
-            dscale=jnp.asarray(scale, dtype),
-            mrows=jnp.asarray(rg, dtype),
-            mmask=jnp.asarray(mg, dtype),
-            mtimes=jnp.asarray(tg, dtype),
+            diff=np.asarray(mesh.basis.diff, dtype),
+            widths=np.asarray(h, dtype),
+            elem_times=np.asarray(mesh.elem_times, dtype),
+            dscale=np.asarray(scale, dtype),
+            mrows=np.asarray(rg, dtype),
+            mmask=np.asarray(mg, dtype),
+            mtimes=np.asarray(tg, dtype),
             node_idx=mesh.elem_node_idx,
             dtype=dtype,
         )
