@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from collocfem_tpu.ops.einsum_hp import einsum_hp
+from collocfem_tpu.ops.smallblocks import spd_solve
 
 from collocfem_tpu.ops.assemble import assemble_gn, blocks_to_nodes
 from collocfem_tpu.problem import Decision
@@ -121,7 +122,8 @@ def shared_gn_step(
     pw2 = p_w**2
     s_tot = s_tot + jnp.diag(pw2) + lam * jnp.eye(nq, dtype=s_tot.dtype)
     r_tot = r_tot + pw2 * (z.p - p_prior)
-    dp = -jnp.linalg.solve(s_tot, r_tot)
+    # Unrolled SPD solve: XLA:TPU's LU expander is f32-only (no f64).
+    dp = -spd_solve(s_tot, r_tot[:, None])[:, 0]
     dx = -(a_g + einsum_hp("ekbq,q->ekb", a_b, dp))
     dV = jax.vmap(lambda d: blocks_to_nodes(d, problem.num_nodes, problem.nv))(dx)
     return dV, dp, gnorm

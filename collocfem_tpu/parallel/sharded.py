@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from collocfem_tpu.ops.einsum_hp import einsum_hp
+from collocfem_tpu.ops.smallblocks import spd_solve
 from jax.sharding import PartitionSpec as P
 
 from collocfem_tpu.ops.assemble import scatter_gn_blocks
@@ -230,7 +231,7 @@ def make_sp_gn_solver(
                 rp = gp * invp - jax.lax.psum(
                     einsum_hp("kbq,kb->q", Bs, a_g), axis_name
                 )
-                dps = -jnp.linalg.solve(schur, rp)
+                dps = -spd_solve(schur, rp[:, None])[:, 0]
                 dx = -(a_g + einsum_hp("kbq,q->kb", a_b, dps)) * inv
                 dp = dps * invp
             else:

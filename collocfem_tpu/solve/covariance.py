@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from collocfem_tpu.ops.assemble import assemble_gn
 from collocfem_tpu.ops.einsum_hp import einsum_hp
+from collocfem_tpu.ops.smallblocks import spd_solve
 from collocfem_tpu.solve.blocktri import SOLVERS
 
 
@@ -37,7 +38,9 @@ def parameter_covariance(problem, z, data, method: str = "cr"):
     solver = SOLVERS[method]
     a_b = solver(sys.D, sys.E, sys.B)               # A^{-1} B
     schur = sys.C - einsum_hp("kbq,kbr->qr", sys.B, a_b)
-    return jnp.linalg.inv(schur)
+    # SPD inverse via the unrolled Cholesky (f64-capable on TPU).
+    eye = jnp.eye(schur.shape[0], dtype=schur.dtype)
+    return spd_solve(schur, eye)
 
 
 def parameter_std(problem, z, data, method: str = "cr"):

@@ -14,7 +14,20 @@ import jax.numpy as jnp
 from collocfem_tpu.ops.einsum_hp import einsum_hp
 
 from collocfem_tpu.ops.assemble import BlockTriSystem, materialize_dense
+from collocfem_tpu.ops.smallblocks import spd_solve
 from collocfem_tpu.solve.blocktri import SOLVERS
+
+
+def _schur_solve(schur, r):
+    """Tiny dense SPD solve of the (nq, nq) parameter Schur system.
+
+    Unrolled Cholesky (ops.smallblocks) instead of jnp.linalg.solve: the
+    XLA:TPU LuDecomposition expander only implements f32/c64, so the
+    LAPACK-style path cannot even compile under emulated f64 — and at
+    nq <= 16 the unrolled arithmetic is faster anyway. The Schur complement
+    of the equilibrated damped GN system is SPD by construction.
+    """
+    return spd_solve(schur, r[:, None])[:, 0]
 
 
 def _equilibrate(sys: BlockTriSystem, lam):
@@ -128,7 +141,7 @@ def solve_kkt_soa(sys, lam, refine: int = 0):
     a_g, a_b = x[:, 0, :], x[:, 1:, :]
     schur = s.C - einsum_hp("bqk,brk->qr", s.B, a_b)
     rp = s.gp - einsum_hp("bqk,bk->q", s.B, a_g)
-    dp = -jnp.linalg.solve(schur, rp)
+    dp = -_schur_solve(schur, rp)
     dx = -(a_g + einsum_hp("bqk,q->bk", a_b, dp))
     for _ in range(refine):
         res_x = (
@@ -140,7 +153,7 @@ def solve_kkt_soa(sys, lam, refine: int = 0):
             + einsum_hp("qr,r->q", s.C, dp)
         )
         ax = apply_fn(res_x[:, None, :])[:, 0, :]
-        cp = jnp.linalg.solve(
+        cp = _schur_solve(
             schur, res_p - einsum_hp("bqk,bk->q", s.B, ax)
         )
         cx = ax - einsum_hp("bqk,q->bk", a_b, cp)
@@ -194,7 +207,7 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
     a_g, a_b = x[..., 0], x[..., 1:]                # A^{-1}gx, A^{-1}B
     schur = s.C - einsum_hp("kbq,kbr->qr", s.B, a_b)
     rp = s.gp - einsum_hp("kbq,kb->q", s.B, a_g)
-    dp = -jnp.linalg.solve(schur, rp)
+    dp = -_schur_solve(schur, rp)
     dx = -(a_g + einsum_hp("kbq,q->kb", a_b, dp))
     for _ in range(refine):
         res_x = (
@@ -206,7 +219,7 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
             + einsum_hp("qr,r->q", s.C, dp)
         )
         ax = solve_once(res_x[..., None])[..., 0]
-        cp = jnp.linalg.solve(
+        cp = _schur_solve(
             schur, res_p - einsum_hp("kbq,kb->q", s.B, ax)
         )
         cx = ax - einsum_hp("kbq,q->kb", a_b, cp)
