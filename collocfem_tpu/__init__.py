@@ -21,6 +21,7 @@ Layer map (SURVEY.md §1 → this package):
 """
 
 from collocfem_tpu.model import Model
+from collocfem_tpu.model_sym import symbolic_model
 from collocfem_tpu.ocp import OptimalControlProblem
 from collocfem_tpu.ops.basis import LGLBasis, make_basis
 from collocfem_tpu.ops.mesh import (
@@ -35,6 +36,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Model",
+    "symbolic_model",
     "LGLBasis",
     "make_basis",
     "Mesh",
