@@ -95,9 +95,14 @@ def shared_gn_step(
         in_axes=(0, 0),
     )(z.V, data_batch)
 
+    # Dimensionless isotropic damping — lam scales the per-experiment max
+    # diagonal, matching solve.kkt._equilibrate's scale-free convention.
     bd = sys_b.D.shape[-1]
     eye_b = jnp.eye(bd, dtype=sys_b.D.dtype)
-    d_damped = sys_b.D + lam * eye_b
+    dg = einsum_hp("ekii->eki", sys_b.D)
+    dmax = jnp.maximum(jnp.max(dg, axis=(1, 2)),
+                       jnp.finfo(sys_b.D.dtype).tiny)      # (n_exp,)
+    d_damped = sys_b.D + (lam * dmax)[:, None, None, None] * eye_b
 
     rhs = jnp.concatenate([sys_b.gx[..., None], sys_b.B], axis=-1)
     if getattr(chain_solver, "batched", False):
@@ -120,7 +125,10 @@ def shared_gn_step(
     )
 
     pw2 = p_w**2
-    s_tot = s_tot + jnp.diag(pw2) + lam * jnp.eye(nq, dtype=s_tot.dtype)
+    s_tot = s_tot + jnp.diag(pw2)
+    smax = jnp.maximum(jnp.max(jnp.diag(s_tot)),
+                       jnp.finfo(s_tot.dtype).tiny)
+    s_tot = s_tot + (lam * smax) * jnp.eye(nq, dtype=s_tot.dtype)
     r_tot = r_tot + pw2 * (z.p - p_prior)
     # Unrolled SPD solve: XLA:TPU's LU expander is f32-only (no f64).
     dp = -spd_solve(s_tot, r_tot[:, None])[:, 0]

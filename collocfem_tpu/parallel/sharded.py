@@ -203,9 +203,17 @@ def make_sp_gn_solver(
             )
 
             # Damped + Jacobi-equilibrated SPIKE solve (same scaling as
-            # solve.kkt._equilibrate, distributed).
+            # solve.kkt._equilibrate, distributed): dimensionless
+            # isotropic damping, lam * global max diagonal (pmax over the
+            # element-chain shards), then scale the damped system to unit
+            # diagonal.
             eye_b = jnp.eye(bd, dtype=dtype)
-            dd = D + st.lam * eye_b
+            dgd = einsum_hp("kii->ki", D)
+            dmax = jax.lax.pmax(jnp.max(dgd), axis_name)
+            if nq:
+                dmax = jnp.maximum(dmax, jnp.max(jnp.diag(C)))
+            lam_abs = st.lam * jnp.maximum(dmax, jnp.finfo(dtype).tiny)
+            dd = D + lam_abs * eye_b
             inv = 1.0 / jnp.sqrt(einsum_hp("kii->ki", dd))
             inv_nxt = _halo_from_right(inv[:1], axis_name, sp)
             Ds = dd * inv[:, :, None] * inv[:, None, :]
@@ -213,7 +221,7 @@ def make_sp_gn_solver(
             Es = E * inv[:, :, None] * inv_shift[:, None, :]
             gxs = gx * inv
             if nq:
-                invp = 1.0 / jnp.sqrt(jnp.diag(C) + st.lam)
+                invp = 1.0 / jnp.sqrt(jnp.diag(C) + lam_abs)
                 Bs = B * inv[:, :, None] * invp[None, None, :]
                 rhs = jnp.concatenate([gxs[..., None], Bs], axis=-1)
             else:
@@ -222,7 +230,7 @@ def make_sp_gn_solver(
             x = blocktri_solve_spike(Ds, Es, rhs, axis_name=axis_name)
             a_g, a_b = x[..., 0], x[..., 1:]
             if nq:
-                Cs = (C + st.lam * jnp.eye(nq, dtype=dtype)) * (
+                Cs = (C + lam_abs * jnp.eye(nq, dtype=dtype)) * (
                     invp[:, None] * invp[None, :]
                 )
                 schur = Cs - jax.lax.psum(

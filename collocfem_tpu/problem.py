@@ -290,6 +290,23 @@ class EstimationProblem:
         r = self.residual_vector(z, data)
         return 0.5 * jnp.sum(r * r)
 
+    def cost_dw(self, z: Decision, data: ProblemData):
+        """0.5 * sum(r^2) accumulated in double-word precision.
+
+        Residuals are evaluated in the working dtype; only the squared-sum
+        ACCUMULATION runs in ~48-bit double-word f32 (ops.doubleword: one
+        two_prod + log2(n) DW adds — a few extra elementwise passes).  The
+        LM accept/reject test compares costs at ~cost * 6e-8 resolution in
+        plain f32, which freezes convergence once true per-step
+        improvements drop below that; the DW pair resolves improvements
+        down to ~cost * 4e-15.  Returns a doubleword.DW scalar.
+        """
+        from collocfem_tpu.ops import doubleword as dw
+
+        r = self.residual_vector(z, data).ravel()
+        s = dw.pairwise_sum(dw.DW(*dw.two_prod(r, r)))
+        return dw.mul_single(s, 0.5)
+
     def measurement_residuals(self, z: Decision, data: ProblemData):
         """Weighted per-sample measurement residuals (N, S, ny) (masked).
 

@@ -294,7 +294,9 @@ def blocktri_solve_cr(D, E, G, *, unroll: int = 3, tail: int = 32,
     # overhead dominates inside solver loops.  Levels below _PALLAS_MIN are
     # cheap either way and stay on the XLA path to bound Mosaic compiles.
     if pallas is None:
-        pallas = jax.default_backend() == "tpu" and k >= pallas_min
+        # Mosaic has no f64: emulated-x64 runs stay on the XLA CR path.
+        pallas = (jax.default_backend() == "tpu" and k >= pallas_min
+                  and dtype != jnp.float64)
     pl_stack = []
     if pallas:
         from collocfem_tpu.ops import cr_pallas
@@ -421,7 +423,9 @@ def blocktri_cr_factor_soa(Ds, Es, *, unroll: int = 3, tail: int = 32,
     vary0 = jnp.zeros((), dtype) * Ds.reshape(-1)[0]
 
     if pallas is None:
-        pallas = jax.default_backend() == "tpu" and k >= pallas_min
+        # Mosaic has no f64: emulated-x64 runs stay on the XLA CR path.
+        pallas = (jax.default_backend() == "tpu" and k >= pallas_min
+                  and dtype != jnp.float64)
     if pallas:
         from collocfem_tpu.ops import cr_pallas
 
@@ -565,8 +569,11 @@ def blocktri_cr_factor(D, E, *, unroll: int = 3, tail: int = 32,
     return apply
 
 
+from collocfem_tpu.solve.blocktri_dw import blocktri_solve_cr_dw  # noqa: E402
+
 SOLVERS = {
     "cr": blocktri_solve_cr,
+    "cr_dw": blocktri_solve_cr_dw,
     "cr_unrolled": blocktri_solve_cr_unrolled,
     "scan": blocktri_solve_scan,
     "dense": blocktri_solve_dense,

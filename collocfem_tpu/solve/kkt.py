@@ -44,17 +44,32 @@ def _equilibrate(sys: BlockTriSystem, lam):
     bd = sys.block_size
     nq = sys.C.shape[0]
     eye_b = jnp.eye(bd, dtype=sys.D.dtype)
-    d_damped = sys.D + lam * eye_b
-    sx = jnp.sqrt(einsum_hp("kii->ki", d_damped))          # (K, bd)
+    # Dimensionless isotropic (Levenberg) damping: lam multiplies the
+    # GLOBAL max diagonal, i.e. A + lam*max(diag(A))*I in the original
+    # coordinates.  An absolute lam*I is meaningless once the diagonal
+    # spans 1..1e8 (relative 1e-11 at lam=1e-3): the f32 assembly noise
+    # (~u * diag) then dominates and the "damped" system can be
+    # INDEFINITE, which f64/double-word factorizations faithfully turn
+    # into overflow junk while f32's clamped pivots hide it.  A single
+    # global scale keeps the damping geometry isotropic (per-row Marquardt
+    # scaling distorted LM trajectories into slow valley-crawls on the MAP
+    # state-path problems) while making lam scale-free and guaranteeing a
+    # PD damped system for lam >> sqrt(n_terms)*u ~ 1e-6.
+    diag = einsum_hp("kii->ki", sys.D)                      # (K, bd)
+    dmax = jnp.max(diag)
+    if nq:
+        dmax = jnp.maximum(dmax, jnp.max(jnp.diag(sys.C)))
+    lam_abs = lam * jnp.maximum(dmax, jnp.finfo(sys.D.dtype).tiny)
+    d_damped = sys.D + lam_abs * eye_b
+    sx = jnp.sqrt(einsum_hp("kii->ki", d_damped))
     inv_sx = 1.0 / sx
     D = d_damped * inv_sx[:, :, None] * inv_sx[:, None, :]  # unit diagonal
     E = sys.E[:-1] * inv_sx[:-1, :, None] * inv_sx[1:, None, :]
     E = jnp.concatenate([E, sys.E[-1:]], axis=0)            # E[K-1] unused/0
     gx = sys.gx * inv_sx
     if nq:
-        c_damped = sys.C + lam * jnp.eye(nq, dtype=sys.C.dtype)
-        sp = jnp.sqrt(jnp.diag(c_damped))
-        inv_sp = 1.0 / sp
+        c_damped = sys.C + lam_abs * jnp.eye(nq, dtype=sys.C.dtype)
+        inv_sp = 1.0 / jnp.sqrt(jnp.diag(c_damped))
         B = sys.B * inv_sx[:, :, None] * inv_sp[None, None, :]
         C = c_damped * inv_sp[:, None] * inv_sp[None, :]
         gp = sys.gp * inv_sp
@@ -74,14 +89,24 @@ def blocktri_matvec(D, E, X):
 
 
 def _equilibrate_soa(sys, lam):
-    """Jacobi scaling of the damped SoA system (no layout shuffles)."""
+    """Jacobi scaling of the damped SoA system (no layout shuffles).
+
+    Dimensionless isotropic damping: lam multiplies the global max
+    diagonal — see :func:`_equilibrate` for why an absolute lam*I fails
+    at this problem's diagonal dynamic range.
+    """
     bd = sys.block_size
     nq = sys.C.shape[0]
     dtype = sys.D.dtype
     eye = jnp.eye(bd, dtype=dtype)[:, :, None]
-    Dd = sys.D + lam * eye
-    diag = jnp.stack([Dd[i, i] for i in range(bd)])         # (bd, K)
-    inv = 1.0 / jnp.sqrt(diag)
+    diag = jnp.stack([sys.D[i, i] for i in range(bd)])      # (bd, K)
+    dmax = jnp.max(diag)
+    if nq:
+        dmax = jnp.maximum(dmax, jnp.max(jnp.diag(sys.C)))
+    lam_abs = lam * jnp.maximum(dmax, jnp.finfo(dtype).tiny)
+    Dd = sys.D + lam_abs * eye
+    diag_d = diag + lam_abs
+    inv = 1.0 / jnp.sqrt(diag_d)
     D = Dd * inv[:, None, :] * inv[None, :, :]
     inv_next = jnp.concatenate(
         [inv[:, 1:], jnp.ones_like(inv[:, :1])], axis=-1
@@ -89,7 +114,7 @@ def _equilibrate_soa(sys, lam):
     E = sys.E * inv[:, None, :] * inv_next[None, :, :]
     gx = sys.gx * inv
     if nq:
-        c_damped = sys.C + lam * jnp.eye(nq, dtype=dtype)
+        c_damped = sys.C + lam_abs * jnp.eye(nq, dtype=dtype)
         inv_sp = 1.0 / jnp.sqrt(jnp.diag(c_damped))
         B = sys.B * inv[:, None, :] * inv_sp[None, :, None]
         C = c_damped * inv_sp[:, None] * inv_sp[None, :]
@@ -114,7 +139,7 @@ def _matvec_soa(D, E, X):
     return jnp.stack(rows)
 
 
-def solve_kkt_soa(sys, lam, refine: int = 0):
+def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False):
     """SoA twin of :func:`solve_kkt` (sys: assemble.BlockTriSystemSoA).
 
     The entire pipeline — equilibration, factorization, multi-RHS apply,
@@ -122,12 +147,19 @@ def solve_kkt_soa(sys, lam, refine: int = 0):
     layout with zero transposes; the block-major layout's (K, b, b)
     tile-padding made each layout shuffle cost more than the factorization
     itself at K ~ 10^4.  Returns (dx (bd, K), dp (nq,)).
+
+    ``dw=True`` factorizes the chain in double-word f32 (~48-bit,
+    solve.blocktri_dw): the single-shot path past the f32 conditioning
+    cliff at K ~ 1e4 (cond ~ K^2), at ~an order of magnitude more
+    elementwise work than the plain-f32 factorization.
     """
     from collocfem_tpu.solve.blocktri import blocktri_cr_factor_soa
+    from collocfem_tpu.solve.blocktri_dw import blocktri_cr_factor_soa_dw
 
     nq = sys.C.shape[0]
     s, inv, inv_sp = _equilibrate_soa(sys, lam)
-    apply_fn = blocktri_cr_factor_soa(s.D, s.E)
+    factor = blocktri_cr_factor_soa_dw if dw else blocktri_cr_factor_soa
+    apply_fn = factor(s.D, s.E)
 
     if nq == 0:
         dx = -apply_fn(s.gx[:, None, :])[:, 0, :]
@@ -164,10 +196,11 @@ def solve_kkt_soa(sys, lam, refine: int = 0):
 
 def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
               refine: int = 0):
-    """Solve [[A+lam I, B], [B^T, C+lam I]] [dx, dp] = -[gx, gp].
+    """Solve the damped KKT system [[A, B], [B^T, C]] [dx, dp] = -[gx, gp].
 
-    Damping is folded into the Jacobi equilibration (the scaled system has
-    unit diagonal, so A_scaled = S A S already includes lam).  With
+    Damping is relative (Marquardt): the system is Jacobi-scaled by its
+    raw diagonal and lam*I is added at the unit-diagonal scale, i.e.
+    A + lam diag(A) in the original coordinates.  With
     ``refine > 0``, performs that many iterative-refinement passes —
     residual of the (scaled) KKT system, correction re-solve — pushing the
     float32 step error from O(eps * cond) toward O(eps) (SURVEY.md §7 hard
@@ -180,7 +213,9 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
     if method == "dense_full":
         h, g = materialize_dense(sys)
         n = h.shape[0]
-        d = -jnp.linalg.solve(h + lam * jnp.eye(n, dtype=h.dtype), g)
+        lam_abs = lam * jnp.maximum(
+            jnp.max(jnp.diag(h)), jnp.finfo(h.dtype).tiny)
+        d = -jnp.linalg.solve(h + lam_abs * jnp.eye(n, dtype=h.dtype), g)
         dx = d[: k * bd].reshape(k, bd)
         return dx, d[k * bd :]
 

@@ -26,6 +26,7 @@ from collocfem_tpu.ops.assemble import (
     blocks_to_nodes,
     blocks_to_nodes_soa,
 )
+from collocfem_tpu.ops import doubleword
 from collocfem_tpu.problem import Decision
 from collocfem_tpu.solve.kkt import solve_kkt, solve_kkt_soa
 
@@ -41,12 +42,16 @@ class SolverOptions:
     gtol: float = 1e-10
     ftol: float = 0.0
     xtol: float = 0.0
-    lam0: float = 1e-3
+    # lam is DIMENSIONLESS: the damping added is lam * max(diag(H)) * I
+    # (solve.kkt._equilibrate).  1e-9 starts effectively undamped — the
+    # right regime for well-initialized collocation problems — and the LM
+    # loop inflates it on rejections.
+    lam0: float = 1e-9
     lam_up: float = 5.0
     lam_down: float = 0.2
     lam_min: float = 1e-14
     lam_max: float = 1e12
-    method: str = "cr"       # 'cr' | 'scan' | 'dense' | 'dense_full'
+    method: str = "cr"       # 'cr' | 'cr_dw' | 'scan' | 'dense' | 'dense_full'
     kkt_refine: int = 0      # iterative-refinement passes per KKT solve
     verbose: bool = False
     irls_delta: float = 0.0  # >0 enables Huber IRLS reweighting
@@ -63,8 +68,10 @@ class SolveStats(NamedTuple):
 
 class _LoopState(NamedTuple):
     z: Decision
-    cost: jnp.ndarray
+    cost: jnp.ndarray      # high word of the current cost
+    cost_lo: jnp.ndarray   # low word (DW accumulation; 0 in f64 runs)
     lam: jnp.ndarray
+    nu: jnp.ndarray        # Nielsen reject-escalation factor
     it: jnp.ndarray
     done: jnp.ndarray
     gnorm: jnp.ndarray
@@ -90,38 +97,101 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
             # tile-pad 16x on TPU and their layout shuffles dominated the
             # iteration (see solve.kkt).  Alternative methods keep the
             # block-major path.
-            if opt.method == "cr":
+            if opt.method in ("cr", "cr_dw"):
                 sys = assemble_gn_soa(problem, st.z, data)
             else:
                 sys = assemble_gn(problem, st.z, data)
             gnorm = jnp.maximum(
                 jnp.max(jnp.abs(sys.gx)), jnp.max(jnp.abs(sys.gp), initial=0.0)
             )
-            if opt.method == "cr":
-                dx, dp = solve_kkt_soa(sys, st.lam, opt.kkt_refine)
+            if opt.method in ("cr", "cr_dw"):
+                dx, dp = solve_kkt_soa(
+                    sys, st.lam, opt.kkt_refine, dw=opt.method == "cr_dw"
+                )
                 dV = blocks_to_nodes_soa(dx, num_nodes, nv)
+                diag_for_lam = jnp.stack(
+                    [sys.D[i, i] for i in range(sys.D.shape[0])]
+                )
             else:
                 dx, dp = solve_kkt(sys, st.lam, opt.method, opt.kkt_refine)
                 dV = blocks_to_nodes(dx, num_nodes, nv)
+                diag_for_lam = jnp.einsum("kii->ki", sys.D)
+            if sys.C.shape[0]:
+                diag_for_lam = jnp.concatenate(
+                    [diag_for_lam.ravel(), jnp.diag(sys.C)]
+                )
+            gx_flat = sys.gx.ravel()
+            dx_flat = dx.ravel()
             z_try = Decision(V=st.z.V + dV, p=st.z.p + dp)
-            c_try = problem.cost(z_try, data)
+            # DW cost: the accept test must resolve improvements below
+            # f32's ~cost*6e-8 resolution or LM freezes on large meshes
+            # (see EstimationProblem.cost_dw).
+            ct = problem.cost_dw(z_try, data)
             step_norm = jnp.sqrt(jnp.sum(dV * dV) + jnp.sum(dp * dp))
-            accept = jnp.isfinite(c_try) & (c_try < st.cost)
+            c_cur = doubleword.DW(st.cost, st.cost_lo)
+            actual = doubleword.to_single(doubleword.sub(c_cur, ct))
+
+            # Gain-ratio acceptance (standard LM): predicted decrease of
+            # the quadratic model when (H + lam_abs I)step = -g is
+            #   pred = 0.5 * (lam_abs * ||step||^2 - g . step) > 0.
+            # A junk step from a noise-indefinite f32 factorization has
+            # enormous ||step|| (huge pred) but near-zero actual decrease
+            # -> rho ~ 0 -> rejected, even when it shaves 1e-10 off the
+            # cost.  A fine-resolution (DW) plain decrease test would
+            # ACCEPT such steps and wander the soft modes — measured on
+            # the N=10k multilevel run as a mu drift from 1.00 to 1.5.
+            dmax = jnp.max(diag_for_lam)
+            gdot = doubleword.to_single(doubleword.add(
+                doubleword.dot(gx_flat, dx_flat),
+                doubleword.dot(sys.gp, dp)))
+            snorm2 = doubleword.to_single(doubleword.add(
+                doubleword.dot(dx_flat, dx_flat),
+                doubleword.dot(dp, dp)))
+            pred = 0.5 * ((st.lam * dmax) * snorm2 - gdot)
+            rho = actual / jnp.maximum(pred, jnp.finfo(actual.dtype).tiny)
+            accept = (
+                jnp.isfinite(ct.hi)
+                & doubleword.less(ct, c_cur)
+                & (pred > 0.0)
+                & (rho > 1e-4)
+            )
 
             z_new = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(accept, a, b), z_try, st.z
             )
-            cost_new = jnp.where(accept, c_try, st.cost)
+            cost_new = jnp.where(accept, ct.hi, st.cost)
+            cost_lo_new = jnp.where(accept, ct.lo, st.cost_lo)
+            # Nielsen's adaptive schedule (Madsen-Nielsen-Tingleff): the
+            # lam factor tracks the gain ratio instead of a fixed up/down
+            # ladder — a rigid x0.2/x5 ladder was measured oscillating
+            # period-2 around the viable lam (reject, accept, reject, ...)
+            # and wasting half the iterations.
+            two_rho = 2.0 * rho - 1.0
+            down = jnp.maximum(
+                jnp.asarray(1.0 / 3.0, st.lam.dtype),
+                1.0 - two_rho * two_rho * two_rho,
+            )
             lam_new = jnp.where(
                 accept,
-                jnp.maximum(st.lam * opt.lam_down, opt.lam_min),
-                jnp.minimum(st.lam * opt.lam_up, opt.lam_max),
+                jnp.maximum(st.lam * down, opt.lam_min),
+                jnp.minimum(st.lam * st.nu, opt.lam_max),
             )
-            rel_drop = (st.cost - c_try) / jnp.maximum(st.cost, 1e-300)
+            nu_new = jnp.where(
+                accept,
+                jnp.asarray(2.0, st.nu.dtype),
+                jnp.minimum(st.nu * 2.0, 64.0),
+            )
+            rel_drop = actual / jnp.maximum(st.cost, 1e-300)
             done = (
                 (gnorm < opt.gtol)
                 | (accept & (opt.ftol > 0.0) & (rel_drop < opt.ftol))
                 | ((opt.xtol > 0.0) & accept & (step_norm < opt.xtol))
+                # lam railed at lam_max: every damping level up to the cap
+                # was rejected — no further progress is possible at the
+                # working precision (observed post-convergence: the f32
+                # gradient-noise floor keeps gnorm above any tight gtol
+                # while the cost sits at its floor).
+                | (~accept & (lam_new >= opt.lam_max))
             )
             hist = st.history.at[st.it].set(
                 jnp.stack(
@@ -142,16 +212,21 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
                     a=accept,
                 )
             return _LoopState(
-                z=z_new, cost=cost_new, lam=lam_new, it=st.it + 1, done=done,
-                gnorm=gnorm, history=hist,
+                z=z_new, cost=cost_new, cost_lo=cost_lo_new, lam=lam_new,
+                nu=nu_new, it=st.it + 1, done=done, gnorm=gnorm,
+                history=hist,
             )
 
         dtype = z0.V.dtype
-        c0 = problem.cost(z0, data)
+        c0 = problem.cost_dw(z0, data)
         st0 = _LoopState(
             z=z0,
-            cost=c0,
-            lam=jnp.asarray(opt.lam0, dtype),
+            cost=c0.hi,
+            cost_lo=c0.lo,
+            lam=jnp.maximum(
+                jnp.asarray(opt.lam0, dtype), jnp.finfo(dtype).eps
+            ),
+            nu=jnp.asarray(2.0, dtype),
             it=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             gnorm=jnp.asarray(jnp.inf, dtype),

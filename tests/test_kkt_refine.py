@@ -32,8 +32,15 @@ def _ill_conditioned_system(rng, k=64, bd=6, nq=2, spread=1e6):
 
 
 def _kkt_residual(sys, lam, dx, dp):
+    """True residual of the damped system under the DIMENSIONLESS-lam
+    contract: the damping added is lam * max(diag(D) u diag(C)) * I
+    (solve.kkt._equilibrate)."""
     bd = sys.block_size
     eye = jnp.eye(bd, dtype=sys.D.dtype)
+    dmax = jnp.max(jnp.einsum("kii->ki", sys.D))
+    if sys.C.shape[0]:
+        dmax = jnp.maximum(dmax, jnp.max(jnp.diag(sys.C)))
+    lam = lam * dmax
     rx = (
         sys.gx
         + blocktri_matvec(sys.D + lam * eye, sys.E, dx)

@@ -148,7 +148,10 @@ def split_actuator_solution():
     model = SplitActuatorIntegrator()
     mesh = uniform_mesh(0.0, 1.0, num_elements=8, degree=4)
     prob = OptimalControlProblem.build(model, mesh, x0=[0.0, 0.0], xf=[1.0, 0.0])
-    solve = make_ocp_solver(prob, ALBarrierOptions(n_outer=12))
+    # 16 outer rounds: under the dimensionless-lam KKT damping the AL
+    # schedule needs a couple more rho escalations to drive the equality
+    # path constraint to ~1e-11 (12 rounds leave it at ~2e-7).
+    solve = make_ocp_solver(prob, ALBarrierOptions(n_outer=16))
     z, stats = solve(prob.initial_guess())
     return model, mesh, prob, z, stats
 
