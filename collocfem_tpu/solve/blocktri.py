@@ -41,9 +41,14 @@ from collocfem_tpu.ops import smallblocks_soa as soa
 _cholesky = smallblocks.chol
 _chol_solve = smallblocks.chol_solve
 
-# Minimum chain length for which a CR level runs as a Pallas kernel on TPU
-# (smaller levels are cheap on the XLA path; this bounds Mosaic compiles).
-_PALLAS_MIN = 2048
+# Minimum chain length for which a CR level runs as a Pallas kernel on TPU.
+# Every level above the tiny sequential tail is cheaper as ONE fused Mosaic
+# program than as the XLA lowering's hundreds of small elementwise kernels:
+# measured on v5e at the N=10k KKT shape (K padded to 16384, b=8, 3 RHS),
+# factor+apply went 6.6 ms (pallas_min=2048) -> 2.5 ms (pallas_min=16,
+# tail=8), vs 37 ms with no Pallas at all.  The sequential Thomas tail costs
+# ~90 us per block step, so it is kept minimal.
+_PALLAS_MIN = 16
 
 
 def _mm(a, b):
@@ -236,7 +241,7 @@ def _cr_backsub_soa(x_even, s_up, s_lo, s_g):
     return jnp.stack([x_even, x_odd], axis=-1).reshape(b, r, 2 * half)
 
 
-def blocktri_solve_cr(D, E, G, *, unroll: int = 3, tail: int = 32,
+def blocktri_solve_cr(D, E, G, *, unroll: int = 3, tail: int = 8,
                       pallas: bool | None = None,
                       pallas_min: int = _PALLAS_MIN):
     """Pivot-free SPD block cyclic reduction, fixed-shape / SoA / single-trace.
@@ -409,7 +414,7 @@ def _pad_pow2_soa(Ds, Es, k0):
     return Ds, Es, kp
 
 
-def blocktri_cr_factor_soa(Ds, Es, *, unroll: int = 3, tail: int = 32,
+def blocktri_cr_factor_soa(Ds, Es, *, unroll: int = 3, tail: int = 8,
                            pallas: bool | None = None,
                            pallas_min: int = _PALLAS_MIN):
     """SoA-native factor/apply: like :func:`blocktri_cr_factor` but takes
@@ -545,7 +550,7 @@ def blocktri_cr_factor_soa(Ds, Es, *, unroll: int = 3, tail: int = 32,
     return apply
 
 
-def blocktri_cr_factor(D, E, *, unroll: int = 3, tail: int = 32,
+def blocktri_cr_factor(D, E, *, unroll: int = 3, tail: int = 8,
                        pallas: bool | None = None,
                        pallas_min: int = _PALLAS_MIN):
     """Block-major wrapper around :func:`blocktri_cr_factor_soa`.
