@@ -211,17 +211,18 @@ def assemble_gn_soa(problem, z, data) -> BlockTriSystemSoA:
     gx = gx.at[:, :n].add(gxe[:bd])
     gx = gx.at[:nv, 1:n + 1].add(gxe[bd:])
 
-    # SPD identity on the trailing pad entries of the last block.
-    for i in range(nv, bd):
-        D = D.at[i, i, k - 1].add(1.0)
-
-    # Priors: parameter prior -> corner; x0 prior -> first nx of block 0.
+    # Diagonal additions in ONE fused scatter: SPD identity on the trailing
+    # pad entries of the last block + x0-prior weights on block 0 (the
+    # previous per-entry .at loops cost ~8 separate full-array updates).
     pw2 = data.p_w**2
     C = hpp + jnp.diag(pw2)
     gp = gpe + pw2 * (z.p - data.p_prior)
     x0w2 = data.x0_w**2
-    for i in range(nx):
-        D = D.at[i, i, 0].add(x0w2[i])
+    diag_add = jnp.zeros((bd, k), dtype)
+    diag_add = diag_add.at[nv:, k - 1].set(1.0)
+    diag_add = diag_add.at[:nx, 0].add(x0w2)
+    rows = jnp.arange(bd)
+    D = D.at[rows, rows, :].add(diag_add)
     gx = gx.at[:nx, 0].add(x0w2 * (z.V[0, :nx] - data.x0_prior))
 
     return BlockTriSystemSoA(D=D, E=E, B=B, C=C, gx=gx, gp=gp)

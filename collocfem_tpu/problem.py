@@ -273,9 +273,16 @@ class EstimationProblem:
         return jnp.concatenate([defect.ravel(), meas.ravel()])
 
     def gather_elements(self, V: jnp.ndarray) -> jnp.ndarray:
-        """(M, nv) node values -> (N, (d+1)*nv) per-element flats."""
-        n = self.mesh.num_elements
-        return V[self.node_idx].reshape(n, -1)
+        """(M, nv) node values -> (N, (d+1)*nv) per-element flats.
+
+        Element e spans global nodes e*d + j (j = 0..d, endpoints shared),
+        so the overlapping windows are d+1 STATIC strided slices — XLA:TPU
+        lowers these far cheaper than the equivalent dynamic row gather
+        (V[node_idx] cost ~1 ms of the 4.6 ms assembly at N=10k).
+        """
+        n, d = self.mesh.num_elements, self.mesh.degree
+        cols = [V[j:j + (n - 1) * d + 1:d] for j in range(d + 1)]
+        return jnp.stack(cols, axis=1).reshape(n, -1)
 
     def residual_vector(self, z: Decision, data: ProblemData) -> jnp.ndarray:
         """Full stacked residual vector (defects, measurements, priors)."""
