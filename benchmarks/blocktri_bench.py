@@ -2,7 +2,16 @@
 
 Times one solve of an SPD block-tridiagonal system at the headline shape
 (K=16384 blocks of bd=8, nrhs=3 — the VdP 10k-element KKT) for each solver
-variant, plus the assembly step, to locate the Newton-iteration bottleneck.
+variant, to locate the Newton-iteration bottleneck.
+
+Measurement methodology (IMPORTANT): through the tunneled dev TPU,
+``jax.block_until_ready`` has been observed returning early, and a scalar
+device->host fetch costs ~30 ms of RPC — both of which make naive per-call
+timing of millisecond-scale solves meaningless (an early version of this
+file reported 0.045 ms for ``cr``, off by ~50x; retracted in BASELINE.md).
+Here each timed unit is a jitted ``fori_loop`` chaining ``inner``
+data-dependent solves, bounded by ONE scalar fetch; the per-fetch RPC
+amortizes to <1% of the measurement.
 
 Usage: python benchmarks/blocktri_bench.py [--k 16384] [--b 8] [--r 3]
 """
@@ -16,18 +25,30 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, reps=5):
+def timeit_chained(solve, D, E, G, inner=50, reps=3):
+    """min over reps of (wall of `inner` chained solves) / inner."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    @jax.jit
+    def loop(D, E, G):
+        def body(i, g):
+            x = solve(D, E, g)
+            # Data dependence so XLA cannot elide or overlap iterations;
+            # the perturbation is far below f32 resolution of G.
+            return g + 1e-30 * x
+
+        return jax.lax.fori_loop(0, inner, body, G)
+
+    out = loop(D, E, G)
+    float(np.asarray(out[0, 0, 0]))          # sync: d2h cannot finish early
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = loop(D, E, G)
+        float(np.asarray(out[0, 0, 0]))
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return min(ts) / inner
 
 
 def main():
@@ -35,7 +56,10 @@ def main():
     ap.add_argument("--k", type=int, default=16384)
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--r", type=int, default=3)
+    ap.add_argument("--inner", type=int, default=50)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--with-scan", action="store_true",
+                    help="include the O(K)-depth Thomas scan (slow at big K)")
     args = ap.parse_args()
 
     import jax
@@ -54,22 +78,18 @@ def main():
     E = jnp.asarray(0.3 * rng.standard_normal((k, b, b)).astype(np.float32))
     G = jnp.asarray(rng.standard_normal((k, b, r)).astype(np.float32))
 
-    results = {}
-    for name in ("cr", "scan"):
-        fn = jax.jit(SOLVERS[name])
-        t = timeit(fn, D, E, G)
-        results[name] = t
-        # residual check
-        X = fn(D, E, G)
+    names = ["cr", "cr_dw"] + (["scan"] if args.with_scan else [])
+    for name in names:
+        fn = SOLVERS[name]
+        inner = args.inner if name != "scan" else 2
+        t = timeit_chained(fn, D, E, G, inner=inner)
+        # residual check (single un-timed solve)
+        X = jax.jit(fn)(D, E, G)
         rres = jnp.einsum("kij,kjr->kir", D, X)
         rres = rres.at[:-1].add(jnp.einsum("kij,kjr->kir", E[:-1], X[1:]))
-        rres = rres.at[1:].add(
-            jnp.einsum("kji,kjr->kir", E[:-1], X[:-1])
-        )
+        rres = rres.at[1:].add(jnp.einsum("kji,kjr->kir", E[:-1], X[:-1]))
         err = float(jnp.max(jnp.abs(rres - G)))
         print(f"{name:>6}: {t*1e3:9.3f} ms   max|Ax-g|={err:.2e}")
-
-    print(f"\nspeedup cr vs scan: {results['scan'] / results['cr']:.1f}x")
 
 
 if __name__ == "__main__":
