@@ -134,8 +134,10 @@ def symbolic_model(
     g_fn, ng = _compile_group(g, args, syms)
     ge_fn, ne = _compile_group(g_eq, args, syms)
     rc_fn, _ = _compile_group(running_cost_residual, args, syms)
-    # Terminal cost sees only (states, params, t=tf) — inputs are undefined
-    # at a single instant; reject expressions that use them.
+    # Terminal cost sees only (states, params) — the base
+    # Model.terminal_cost_residual(x, p) has no input or time argument, so
+    # expressions using inputs or 't' are rejected rather than silently
+    # bound to zeros.
     tc_fn, _ = _compile_group(terminal_cost_residual, args, syms)
     if terminal_cost_residual is not None:
         texprs = terminal_cost_residual
@@ -145,10 +147,12 @@ def symbolic_model(
         for e in texprs:
             pe = sympy.sympify(e, locals=syms) if isinstance(e, str) else e
             tfree |= {str(s) for s in pe.free_symbols}
-        bad = tfree & set(inp)
+        bad = tfree & (set(inp) | {"t"})
         if bad:
             raise ValueError(
-                f"terminal_cost_residual may not reference inputs {sorted(bad)}"
+                "terminal_cost_residual may not reference inputs or 't' "
+                f"(the base Model.terminal_cost_residual(x, p) has no time "
+                f"argument): {sorted(bad)}"
             )
 
     nx, nu, nq = len(st), len(inp), len(par)

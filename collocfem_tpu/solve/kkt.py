@@ -198,9 +198,13 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
               refine: int = 0):
     """Solve the damped KKT system [[A, B], [B^T, C]] [dx, dp] = -[gx, gp].
 
-    Damping is relative (Marquardt): the system is Jacobi-scaled by its
-    raw diagonal and lam*I is added at the unit-diagonal scale, i.e.
-    A + lam diag(A) in the original coordinates.  With
+    Damping is isotropic Levenberg at a dimensionless scale: the system is
+    symmetrically Jacobi-equilibrated and ``lam * dmax * I`` is added,
+    where ``dmax = max(diag(A) ∪ diag(C))`` — i.e. A + lam*dmax*I in the
+    original coordinates, NOT per-row Marquardt ``A + lam diag(A)``
+    (see _equilibrate; newton.py's gain-ratio predicted-decrease
+    ``0.5*(lam*dmax*||s||² − g·s)`` relies on these isotropic
+    semantics).  With
     ``refine > 0``, performs that many iterative-refinement passes —
     residual of the (scaled) KKT system, correction re-solve — pushing the
     float32 step error from O(eps * cond) toward O(eps) (SURVEY.md §7 hard

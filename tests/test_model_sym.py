@@ -129,3 +129,11 @@ def test_end_to_end_estimation_with_symbolic_model():
     p = np.asarray(z.p)
     assert np.all(np.isfinite(p))
     np.testing.assert_allclose(p, [1.0, 1.0], atol=0.08)
+
+
+def test_terminal_cost_rejects_time():
+    # 't' has no binding at the terminal instant (Model.terminal_cost_residual
+    # has signature (x, p)); it must be rejected, not silently bound to 0.
+    with pytest.raises(ValueError, match="'t'"):
+        symbolic_model(name="BadT", states="x0",
+                       f=["-x0"], terminal_cost_residual=["x0 - t"])
