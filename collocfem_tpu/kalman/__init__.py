@@ -15,7 +15,7 @@ Public API:
   kalman_filter, rts_smoother        — linear KF / RTS      (filtering)
   ekf_filter, ukf_filter, cd_smoother— continuous-discrete EKF/UKF + RTS
   sqrt_kalman_filter, sqrt_rts_smoother — square-root forms  (sqrt)
-  make_ekf_nll, run_lbfgs            — PEM / ML estimation   (pem)
+  make_ekf_nll, make_ukf_nll, run_lbfgs — PEM / ML estimation (pem)
   smoother_initial_guess             — warm start for EstimationProblem
 """
 
@@ -29,7 +29,12 @@ from collocfem_tpu.kalman.filtering import (
     ukf_filter,
 )
 from collocfem_tpu.kalman.initialize import smoother_initial_guess
-from collocfem_tpu.kalman.pem import make_ekf_nll, make_lti_nll, run_lbfgs
+from collocfem_tpu.kalman.pem import (
+    make_ekf_nll,
+    make_lti_nll,
+    make_ukf_nll,
+    run_lbfgs,
+)
 from collocfem_tpu.kalman.sqrt import sqrt_kalman_filter, sqrt_rts_smoother
 
 __all__ = [
@@ -44,6 +49,7 @@ __all__ = [
     "sqrt_kalman_filter",
     "sqrt_rts_smoother",
     "make_ekf_nll",
+    "make_ukf_nll",
     "make_lti_nll",
     "run_lbfgs",
     "smoother_initial_guess",

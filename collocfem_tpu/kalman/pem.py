@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from collocfem_tpu.kalman.disc import discretize_lti
-from collocfem_tpu.kalman.filtering import ekf_filter, kalman_filter
+from collocfem_tpu.kalman.filtering import ekf_filter, kalman_filter, ukf_filter
 
 
 def make_lti_nll(build, ts, ys, mask=None):
@@ -45,6 +45,26 @@ def make_ekf_nll(model, ts, ys, R, Qc, m0, P0, u=None, substeps: int = 4,
     def nll(p):
         res = ekf_filter(model, p, ts, ys, R, Qc, m0, P0, u=u,
                          substeps=substeps, mask=mask)
+        return -res.loglik
+
+    return nll
+
+
+def make_ukf_nll(model, ts, ys, R, Qc, m0, P0, u=None, substeps: int = 4,
+                 mask=None, alpha: float = 1.0, beta: float = 2.0,
+                 kappa: float = 0.0):
+    """NLL(p) via the continuous-discrete UKF (derivative-free moments).
+
+    Same contract as :func:`make_ekf_nll`; prefer it when the dynamics are
+    strongly nonlinear over a sampling interval (the unscented transform
+    captures third-order odd-moment effects the EKF linearization drops).
+    Differentiable: sigma-point propagation is smooth in ``p``.
+    """
+
+    def nll(p):
+        res = ukf_filter(model, p, ts, ys, R, Qc, m0, P0, u=u,
+                         substeps=substeps, mask=mask, alpha=alpha,
+                         beta=beta, kappa=kappa)
         return -res.loglik
 
     return nll

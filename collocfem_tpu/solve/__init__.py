@@ -3,8 +3,12 @@
 factorization and for IPOPT on inequality-constrained problems)."""
 
 from collocfem_tpu.solve.covariance import (
+    element_covariance,
     parameter_covariance,
     parameter_std,
+    state_covariance_nodes,
+    state_std,
+    trajectory_std,
 )
 from collocfem_tpu.solve.auglag import (
     ALBarrierOptions,
@@ -40,4 +44,8 @@ __all__ = [
     "solve_ocp",
     "parameter_covariance",
     "parameter_std",
+    "state_covariance_nodes",
+    "state_std",
+    "element_covariance",
+    "trajectory_std",
 ]

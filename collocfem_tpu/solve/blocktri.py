@@ -115,6 +115,61 @@ def blocktri_solve_scan(D, E, G):
     return jnp.concatenate([xs, x_last[None]])
 
 
+def blocktri_inverse_blocks(D, E):
+    """Selected inverse of the SPD block-tridiagonal A (Takahashi recursion).
+
+    The reference lineage reports estimate uncertainty from the inverse of
+    the information matrix (SURVEY.md §3.4); for the state path that inverse
+    is dense, but only its block-(tri)diagonal part is needed for per-node
+    covariances and per-element confidence bands.  The Takahashi/RTS
+    recursion produces exactly those blocks from the block-Cholesky (Thomas)
+    factorization without ever forming the dense inverse:
+
+      forward:   S_0 = D_0;   W_k = S_k^{-1} E_k;  S_{k+1} = D_{k+1} - E_k^T W_k
+      backward:  Sigma_{K-1} = S_{K-1}^{-1}
+                 Sigma_{k,k+1} = -W_k Sigma_{k+1}
+                 Sigma_k = S_k^{-1} + W_k Sigma_{k+1} W_k^T
+
+    O(K) sequential depth — this is a reporting path, not the Newton hot
+    loop.  Run in float64 on CPU for ill-conditioned (lightly regularized)
+    systems.
+
+    Returns:
+      diag: (K, b, b) diagonal blocks ``inv(A)[k, k]``.
+      off:  (K-1, b, b) super-diagonal blocks ``inv(A)[k, k+1]``.
+    """
+    k = D.shape[0]
+    if k == 1:
+        b = D.shape[1]
+        sinv = _chol_solve(_cholesky(D[0]), jnp.eye(b, dtype=D.dtype))
+        return sinv[None], jnp.zeros((0, b, b), D.dtype)
+
+    eye = jnp.eye(D.shape[1], dtype=D.dtype)
+
+    def fwd(s_carry, inp):
+        d_next, e_k = inp
+        l_k = _cholesky(s_carry)
+        w_k = _chol_solve(l_k, e_k)
+        sinv_k = _chol_solve(l_k, eye)
+        s_next = d_next - _mtm(e_k, w_k)
+        return s_next, (sinv_k, w_k)
+
+    s_last, (sinvs, ws) = jax.lax.scan(fwd, D[0], (D[1:], E[:-1]))
+    sigma_last = _chol_solve(_cholesky(s_last), eye)
+
+    def bwd(sigma_next, inp):
+        sinv_k, w_k = inp
+        off_k = -_mm(w_k, sigma_next)
+        sigma_k = sinv_k - _mm(w_k, off_k.swapaxes(-1, -2))
+        return sigma_k, (sigma_k, off_k)
+
+    _, (sigmas, offs) = jax.lax.scan(
+        bwd, sigma_last, (sinvs, ws), reverse=True
+    )
+    diag = jnp.concatenate([sigmas, sigma_last[None]])
+    return diag, offs
+
+
 # ---------------------------------------------------------------------------
 # Cyclic reduction: O(log K) parallel depth
 # ---------------------------------------------------------------------------

@@ -63,15 +63,25 @@ def main():
     print_history(stats.history, HISTORY_COLS, stats.iterations)
     p = np.asarray(z.p)
     print(f"\nconverged={bool(stats.converged)} in {int(stats.iterations)} its")
-    print(f"estimate  mu={p[0]:.6f}  b={p[1]:.6f}")
+    from collocfem_tpu.solve import parameter_std, state_std
+
+    p_sd = np.asarray(parameter_std(prob, z, data))
+    print(f"estimate  mu={p[0]:.6f} +- {p_sd[0]:.6f}  "
+          f"b={p[1]:.6f} +- {p_sd[1]:.6f}")
     print(f"truth     mu={MU_TRUE:.6f}  b={B_TRUE:.6f}")
+    sd = np.asarray(state_std(prob, z, data))
+    print(f"state band (x1): max +-{sd[:, 0].max():.4f}, "
+          f"median +-{np.median(sd[:, 0]):.4f}")
 
     if args.plot:
         import matplotlib.pyplot as plt
 
         tt = np.asarray(mesh.node_times)
+        x1 = np.asarray(z.V)[:, 0]
         plt.plot(t_meas, y[:, 0], ".", label="measured", alpha=0.4)
-        plt.plot(tt, np.asarray(z.V)[:, 0], label="estimated x1")
+        plt.plot(tt, x1, label="estimated x1")
+        plt.fill_between(tt, x1 - 2 * sd[:, 0], x1 + 2 * sd[:, 0],
+                         alpha=0.25, label="+-2 sd band")
         plt.plot(tt, sol.sol(tt)[0], "--", label="true x1")
         plt.legend(); plt.xlabel("t"); plt.show()
 

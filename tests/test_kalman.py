@@ -205,6 +205,49 @@ def test_pem_recovers_oscillator_parameters():
     assert float(val) <= float(nll(jnp.array([4.0, 0.4]))) + 1e-6
 
 
+def test_ukf_nll_matches_ekf_on_linear_and_differentiates():
+    from collocfem_tpu.kalman import make_ekf_nll, make_ukf_nll
+    from collocfem_tpu.models import VanDerPol
+    from collocfem_tpu.models.lti import LinearSystem
+    from collocfem_tpu.utils.simulate import rk4_trajectory
+
+    rng = np.random.default_rng(9)
+    ts, y, _, _, _ = _problem(rng, T=40)
+    model = LinearSystem(A, C=H)
+    p_empty = jnp.zeros(0)
+    nll_e = make_ekf_nll(model, ts, y, R, QC, M0, P0, substeps=8)
+    nll_u = make_ukf_nll(model, ts, y, R, QC, M0, P0, substeps=8)
+    # UT is exact for linear flows: both NLLs agree to discretization error.
+    np.testing.assert_allclose(float(nll_u(p_empty)), float(nll_e(p_empty)),
+                               rtol=1e-5)
+
+    # AD-vs-FD gradient on a parameterized nonlinear model.
+    vdp = VanDerPol()
+    tf = 6.0
+    t_meas = np.linspace(0.1, tf, 50)
+    ts_fine = np.linspace(0.0, tf, 1201)
+    xs = np.asarray(rk4_trajectory(
+        vdp.f, jnp.array([2.0, 0.0]), jnp.asarray(ts_fine),
+        u_fn=lambda t: jnp.zeros((1,)), p=jnp.array([1.0, 1.0])))
+    yv = np.interp(t_meas, ts_fine, xs[:, 0])[:, None]
+    yv += 0.02 * rng.standard_normal(yv.shape)
+    Rv = np.array([[0.02**2]])
+    Qcv = np.diag([1e-6, 1e-2])
+    nll = make_ukf_nll(vdp, t_meas, yv, Rv, Qcv,
+                       np.array([2.0, 0.0]), np.eye(2) * 0.1, substeps=3)
+    p0 = jnp.array([0.8, 0.9])
+    g = jax.grad(nll)(p0)
+    for i in range(2):
+        e = np.zeros(2)
+        e[i] = 1e-6
+        fd = (nll(p0 + e) - nll(p0 - e)) / 2e-6
+        np.testing.assert_allclose(g[i], fd, rtol=2e-5)
+    # And a short L-BFGS run moves downhill toward the truth.
+    p_hat, (val, _, _) = run_lbfgs(jax.jit(nll), p0, maxiter=40)
+    assert float(val) < float(nll(p0))
+    np.testing.assert_allclose(np.asarray(p_hat), [1.0, 1.0], atol=0.25)
+
+
 def test_smoother_initial_guess_beats_data_interp():
     """EKF/RTS warm start gives a lower initial cost than measurement
     interpolation on VdP estimation (x2 unmeasured dynamics-consistent)."""
