@@ -94,12 +94,34 @@ def scatter_gn_blocks(hxx, hxp, hpp, gxe, gpe, *, num_blocks, nv, overlap, dtype
     return BlockTriSystem(D=D, E=E, B=B, C=hpp, gx=gx, gp=gpe)
 
 
-def assemble_gn(problem, z, data) -> BlockTriSystem:
+def _cost_dw_from_residuals(r, z, data, nx):
+    """Double-word 0.5*||r_full||^2 from the element residuals ``r`` already
+    evaluated by the assembly, plus the prior residual terms.
+
+    Matches ``EstimationProblem.cost_dw`` exactly (same residual vector,
+    same DW accumulation); evaluating it here lets the LM loop skip the
+    separate full residual pass per iteration (~30% of the N=10k iteration
+    wall was the standalone cost evaluation).
+    """
+    from collocfem_tpu.ops import doubleword as dw
+
+    rf = r.ravel()
+    s = dw.pairwise_sum(dw.DW(*dw.two_prod(rf, rf)))
+    extra = jnp.concatenate([
+        data.p_w * (z.p - data.p_prior),
+        data.x0_w * (z.V[0, :nx] - data.x0_prior),
+    ])
+    s = dw.add(s, dw.pairwise_sum(dw.DW(*dw.two_prod(extra, extra))))
+    return dw.mul_single(s, 0.5)
+
+
+def assemble_gn(problem, z, data, with_cost: bool = False):
     """Assemble the Gauss-Newton system at iterate ``z``.
 
     Per element: residual r_e and Jacobians (J_x (m, (d+1)nv), J_p (m, nq))
     via vmapped jacfwd; dense normal-equation blocks J^T J / J^T r are formed
-    on the MXU and scattered with static index maps.
+    on the MXU and scattered with static index maps.  With ``with_cost``,
+    also returns the double-word cost at ``z`` (reusing the residuals).
     """
     mesh, model = problem.mesh, problem.model
     n, d, nv, nq = mesh.num_elements, mesh.degree, problem.nv, model.nq
@@ -137,7 +159,10 @@ def assemble_gn(problem, z, data) -> BlockTriSystem:
     D = sys.D.at[0, jnp.arange(nx), jnp.arange(nx)].add(x0w2)
     gx = sys.gx.at[0, :nx].add(x0w2 * (z.V[0, :nx] - data.x0_prior))
 
-    return BlockTriSystem(D=D, E=sys.E, B=sys.B, C=C, gx=gx, gp=gp)
+    out = BlockTriSystem(D=D, E=sys.E, B=sys.B, C=C, gx=gx, gp=gp)
+    if with_cost:
+        return out, _cost_dw_from_residuals(r, z, data, nx)
+    return out
 
 
 class BlockTriSystemSoA(NamedTuple):
@@ -169,12 +194,13 @@ class BlockTriSystemSoA(NamedTuple):
         return self.D.shape[0]
 
 
-def assemble_gn_soa(problem, z, data) -> BlockTriSystemSoA:
+def assemble_gn_soa(problem, z, data, with_cost: bool = False):
     """SoA twin of :func:`assemble_gn` — the TPU hot-path assembly.
 
     Per-element jacfwd as in assemble_gn, but the normal-equation einsums
     emit the element axis LAST and the block-chain scatter is two static
-    lane-slices (elements e -> chain slots e and e+1).
+    lane-slices (elements e -> chain slots e and e+1).  With ``with_cost``,
+    also returns the double-word cost at ``z`` (reusing the residuals).
     """
     mesh, model = problem.mesh, problem.model
     n, d, nv, nq = mesh.num_elements, mesh.degree, problem.nv, model.nq
@@ -225,7 +251,10 @@ def assemble_gn_soa(problem, z, data) -> BlockTriSystemSoA:
     D = D.at[rows, rows, :].add(diag_add)
     gx = gx.at[:nx, 0].add(x0w2 * (z.V[0, :nx] - data.x0_prior))
 
-    return BlockTriSystemSoA(D=D, E=E, B=B, C=C, gx=gx, gp=gp)
+    out = BlockTriSystemSoA(D=D, E=E, B=B, C=C, gx=gx, gp=gp)
+    if with_cost:
+        return out, _cost_dw_from_residuals(r, z, data, nx)
+    return out
 
 
 def blocks_to_nodes_soa(dx: jnp.ndarray, num_nodes: int, nv: int) -> jnp.ndarray:

@@ -167,16 +167,22 @@ def pairwise_sum(x: DW, axis: int = 0) -> DW:
     if n == 0:
         z = jnp.zeros(hi.shape[1:], hi.dtype)
         return DW(z, z)
+    # Pad to a power of two with zeros (an exact additive identity for
+    # two_sum), so every level is a clean halving: no odd-tail
+    # concatenates — those emitted 2 extra kernels per level, and on the
+    # solver's ~1e5-element reductions the kernel count dominates the
+    # (bandwidth-trivial) arithmetic.
+    n2 = 1 << (n - 1).bit_length()
+    if n2 != n:
+        pad = [(0, n2 - n)] + [(0, 0)] * (hi.ndim - 1)
+        hi = jnp.pad(hi, pad)
+        lo = jnp.pad(lo, pad)
+        n = n2
     while n > 1:
         m = n // 2
-        s = add(DW(hi[:m], lo[:m]), DW(hi[m:2 * m], lo[m:2 * m]))
-        if n % 2:
-            hi = jnp.concatenate([s.hi, hi[2 * m:]])
-            lo = jnp.concatenate([s.lo, lo[2 * m:]])
-            n = m + 1
-        else:
-            hi, lo = s.hi, s.lo
-            n = m
+        s = add(DW(hi[:m], lo[:m]), DW(hi[m:], lo[m:]))
+        hi, lo = s.hi, s.lo
+        n = m
     return DW(hi[0], lo[0])
 
 

@@ -141,12 +141,17 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
             # ACCEPT such steps and wander the soft modes — measured on
             # the N=10k multilevel run as a mu drift from 1.00 to 1.5.
             dmax = jnp.max(diag_for_lam)
-            gdot = doubleword.to_single(doubleword.add(
-                doubleword.dot(gx_flat, dx_flat),
-                doubleword.dot(sys.gp, dp)))
-            snorm2 = doubleword.to_single(doubleword.add(
-                doubleword.dot(dx_flat, dx_flat),
-                doubleword.dot(dp, dp)))
+            # One fused DW reduction tree for both quadratic forms: row 0
+            # sums g.s, row 1 sums s.s (4 separate dot trees cost ~4x the
+            # kernel launches for the same arithmetic).
+            s_cat = jnp.concatenate([dx_flat, dp])
+            lhs = jnp.stack([jnp.concatenate([gx_flat, sys.gp]), s_cat])
+            sums = doubleword.pairwise_sum(
+                doubleword.DW(*doubleword.two_prod(lhs, s_cat[None, :])),
+                axis=1,
+            )
+            gdot = doubleword.to_single(doubleword.DW(sums.hi[0], sums.lo[0]))
+            snorm2 = doubleword.to_single(doubleword.DW(sums.hi[1], sums.lo[1]))
             pred = 0.5 * ((st.lam * dmax) * snorm2 - gdot)
             rho = actual / jnp.maximum(pred, jnp.finfo(actual.dtype).tiny)
             accept = (
