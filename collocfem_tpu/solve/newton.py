@@ -51,7 +51,9 @@ class SolverOptions:
     lam_down: float = 0.2
     lam_min: float = 1e-14
     lam_max: float = 1e12
-    method: str = "cr"       # 'cr' | 'cr_dw' | 'scan' | 'dense' | 'dense_full'
+    # 'auto' resolves at solver-build time: the single-kernel SPIKE chain
+    # solve on TPU (launch-count-bound regime), per-level CR elsewhere.
+    method: str = "auto"     # 'auto'|'spike'|'cr'|'cr_dw'|'scan'|'dense'|...
     kkt_refine: int = 0      # iterative-refinement passes per KKT solve
     verbose: bool = False
     irls_delta: float = 0.0  # >0 enables Huber IRLS reweighting
@@ -86,27 +88,32 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
     (BASELINE.json config 5).
     """
     opt = options
+    if opt.method == "auto":
+        method = "spike" if jax.default_backend() == "tpu" else "cr"
+        opt = dataclasses.replace(opt, method=method)
     nv = problem.nv
     num_nodes = problem.num_nodes
+    soa = opt.method in ("cr", "cr_dw", "spike")
 
     @jax.jit
     def solve(z0: Decision, data):
         def body(st: _LoopState) -> _LoopState:
-            # Default ("cr") hot path runs entirely in the SoA
-            # (chain-on-lanes) layout: block-major (K, b, b) arrays
-            # tile-pad 16x on TPU and their layout shuffles dominated the
-            # iteration (see solve.kkt).  Alternative methods keep the
-            # block-major path.
-            if opt.method in ("cr", "cr_dw"):
+            # Default hot path runs entirely in the SoA (chain-on-lanes)
+            # layout: block-major (K, b, b) arrays tile-pad 16x on TPU and
+            # their layout shuffles dominated the iteration (see
+            # solve.kkt).  Alternative methods keep the block-major path.
+            if soa:
                 sys = assemble_gn_soa(problem, st.z, data)
             else:
                 sys = assemble_gn(problem, st.z, data)
             gnorm = jnp.maximum(
                 jnp.max(jnp.abs(sys.gx)), jnp.max(jnp.abs(sys.gp), initial=0.0)
             )
-            if opt.method in ("cr", "cr_dw"):
+            if soa:
                 dx, dp = solve_kkt_soa(
-                    sys, st.lam, opt.kkt_refine, dw=opt.method == "cr_dw"
+                    sys, st.lam, opt.kkt_refine,
+                    dw=opt.method == "cr_dw",
+                    spike=opt.method == "spike",
                 )
                 dV = blocks_to_nodes_soa(dx, num_nodes, nv)
                 diag_for_lam = jnp.stack(
