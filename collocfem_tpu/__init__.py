@@ -23,6 +23,7 @@ Layer map (SURVEY.md §1 → this package):
 from collocfem_tpu.model import Model
 from collocfem_tpu.model_sym import symbolic_model
 from collocfem_tpu.ocp import OptimalControlProblem
+from collocfem_tpu.ocp_time import FreeTimeModel, free_time_ocp
 from collocfem_tpu.ops.basis import LGLBasis, make_basis
 from collocfem_tpu.ops.mesh import (
     Mesh,
@@ -47,5 +48,7 @@ __all__ = [
     "ProblemData",
     "Decision",
     "OptimalControlProblem",
+    "FreeTimeModel",
+    "free_time_ocp",
     "__version__",
 ]

@@ -107,10 +107,9 @@ def _cost_dw_from_residuals(r, z, data, nx):
 
     rf = r.ravel()
     s = dw.pairwise_sum(dw.DW(*dw.two_prod(rf, rf)))
-    extra = jnp.concatenate([
-        data.p_w * (z.p - data.p_prior),
-        data.x0_w * (z.V[0, :nx] - data.x0_prior),
-    ])
+    dx0 = z.V[0, :nx] - data.x0_prior
+    r_x0 = data.x0_w @ dx0 if data.x0_w.ndim == 2 else data.x0_w * dx0
+    extra = jnp.concatenate([data.p_w * (z.p - data.p_prior), r_x0])
     s = dw.add(s, dw.pairwise_sum(dw.DW(*dw.two_prod(extra, extra))))
     return dw.mul_single(s, 0.5)
 
@@ -150,19 +149,101 @@ def assemble_gn(problem, z, data, with_cost: bool = False):
     sys = scatter_gn_blocks(
         hxx, hxp, hpp, gxe, gpe, num_blocks=k, nv=nv, overlap=nv, dtype=dtype
     )
-
-    # Priors: parameter prior -> corner; x0 prior -> first nx of block 0.
-    pw2 = data.p_w**2
-    C = sys.C + jnp.diag(pw2)
-    gp = sys.gp + pw2 * (z.p - data.p_prior)
-    x0w2 = data.x0_w**2
-    D = sys.D.at[0, jnp.arange(nx), jnp.arange(nx)].add(x0w2)
-    gx = sys.gx.at[0, :nx].add(x0w2 * (z.V[0, :nx] - data.x0_prior))
-
-    out = BlockTriSystem(D=D, E=sys.E, B=sys.B, C=C, gx=gx, gp=gp)
+    out = _add_priors_block(sys, z, data, nx)
     if with_cost:
         return out, _cost_dw_from_residuals(r, z, data, nx)
     return out
+
+
+def _add_priors_block(sys: BlockTriSystem, z, data, nx) -> BlockTriSystem:
+    """Parameter prior -> corner; x0 prior -> first nx of block 0.
+
+    Priors are exactly quadratic, so their Gauss-Newton and exact-Newton
+    contributions coincide (shared by assemble_gn / assemble_newton).
+    """
+    pw2 = data.p_w**2
+    C = sys.C + jnp.diag(pw2)
+    gp = sys.gp + pw2 * (z.p - data.p_prior)
+    dx0 = z.V[0, :nx] - data.x0_prior
+    if data.x0_w.ndim == 2:  # full sqrt-information prior: Λ = LᵀL
+        lam_x0 = data.x0_w.T @ data.x0_w
+        D = sys.D.at[0, :nx, :nx].add(lam_x0)
+        gx = sys.gx.at[0, :nx].add(lam_x0 @ dx0)
+    else:
+        x0w2 = data.x0_w**2
+        D = sys.D.at[0, jnp.arange(nx), jnp.arange(nx)].add(x0w2)
+        gx = sys.gx.at[0, :nx].add(x0w2 * dx0)
+    return BlockTriSystem(D=D, E=sys.E, B=sys.B, C=C, gx=gx, gp=gp)
+
+
+def assemble_newton(problem, z, data):
+    """Assemble the EXACT Newton system at iterate ``z``.
+
+    The reference's solver family is "Newton / Gauss-Newton / IRLS"
+    (SURVEY.md §2a; BASELINE.json north_star: "hand/AD Jacobian and
+    **Hessian** assembly ... full Newton estimation").  The Gauss-Newton
+    system drops the curvature term Σᵢ rᵢ ∇²rᵢ; this assembly keeps it:
+    per element, the full Hessian of 0.5‖r_e‖² over (local nodes, params)
+    is taken with forward-over-reverse AD and scattered into the SAME
+    block-tridiagonal + arrowhead structure — element residuals only touch
+    element-local variables, so second derivatives add no new sparsity.
+
+    The exact Hessian can be indefinite far from a minimum; the LM loop's
+    damping/rejection logic (solve.newton) handles that — a failed
+    (non-SPD) factorization yields a non-finite trial cost, the step is
+    rejected and λ inflates until H + λ·dmax·I is SPD.
+    """
+    mesh = problem.mesh
+    n, d, nv = mesh.num_elements, mesh.degree, problem.nv
+    k = n + 1
+    nx = problem.model.nx
+
+    xe = problem.gather_elements(z.V)
+    ed = problem._elem_data(data)
+
+    def cost_e(xe_flat, p, edata):
+        r = problem.elem_residual(xe_flat, p, edata)
+        return 0.5 * jnp.sum(r * r)
+
+    grad_e = jax.grad(cost_e, argnums=(0, 1))
+
+    def per_elem(xe_flat, edata):
+        gx_e, gp_e = grad_e(xe_flat, z.p, edata)
+        (hxx, hxp), (_, hpp) = jax.jacfwd(grad_e, argnums=(0, 1))(
+            xe_flat, z.p, edata
+        )
+        return gx_e, gp_e, hxx, hxp, hpp
+
+    gxe, gpe, hxx, hxp, hpp = jax.vmap(per_elem, in_axes=(0, 0))(xe, ed)
+    sys = scatter_gn_blocks(
+        hxx, hxp, jnp.sum(hpp, axis=0), gxe, jnp.sum(gpe, axis=0),
+        num_blocks=k, nv=nv, overlap=nv, dtype=z.V.dtype,
+    )
+    return _add_priors_block(sys, z, data, nx)
+
+
+def soa_from_blocks(sys: BlockTriSystem) -> BlockTriSystemSoA:
+    """Block-major -> SoA layout (chain index to the vector lanes)."""
+    return BlockTriSystemSoA(
+        D=jnp.moveaxis(sys.D, 0, -1),
+        E=jnp.moveaxis(sys.E, 0, -1),
+        B=jnp.moveaxis(sys.B, 0, -1),
+        C=sys.C,
+        gx=jnp.moveaxis(sys.gx, 0, -1),
+        gp=sys.gp,
+    )
+
+
+def assemble_newton_soa(problem, z, data) -> "BlockTriSystemSoA":
+    """SoA twin of :func:`assemble_newton`.
+
+    Unlike assemble_gn_soa (which orders its einsum outputs to avoid any
+    layout shuffle), the Hessian blocks come out of forward-over-reverse AD
+    element-major, so this pays one transpose per field — acceptable for
+    the exact-Newton mode, which trades per-iteration cost for quadratic
+    local convergence.
+    """
+    return soa_from_blocks(assemble_newton(problem, z, data))
 
 
 class BlockTriSystemSoA(NamedTuple):
@@ -243,13 +324,18 @@ def assemble_gn_soa(problem, z, data, with_cost: bool = False):
     pw2 = data.p_w**2
     C = hpp + jnp.diag(pw2)
     gp = gpe + pw2 * (z.p - data.p_prior)
-    x0w2 = data.x0_w**2
+    dx0 = z.V[0, :nx] - data.x0_prior
     diag_add = jnp.zeros((bd, k), dtype)
     diag_add = diag_add.at[nv:, k - 1].set(1.0)
-    diag_add = diag_add.at[:nx, 0].add(x0w2)
+    if data.x0_w.ndim == 2:  # full sqrt-information prior: Λ = LᵀL
+        lam_x0 = data.x0_w.T @ data.x0_w
+        D = D.at[:nx, :nx, 0].add(lam_x0)
+        gx = gx.at[:nx, 0].add(lam_x0 @ dx0)
+    else:
+        diag_add = diag_add.at[:nx, 0].add(data.x0_w**2)
+        gx = gx.at[:nx, 0].add(data.x0_w**2 * dx0)
     rows = jnp.arange(bd)
     D = D.at[rows, rows, :].add(diag_add)
-    gx = gx.at[:nx, 0].add(x0w2 * (z.V[0, :nx] - data.x0_prior))
 
     out = BlockTriSystemSoA(D=D, E=E, B=B, C=C, gx=gx, gp=gp)
     if with_cost:

@@ -124,7 +124,8 @@ def make_sp_gn_solver(
             r2 = jax.lax.psum(local_r2(V, p), axis_name)
             rp = data.p_w * (p - data.p_prior)
             x0 = jax.lax.all_gather(V[:1], axis_name)[0, 0, :nx]
-            rx0 = data.x0_w * (x0 - data.x0_prior)
+            dx0 = x0 - data.x0_prior
+            rx0 = data.x0_w @ dx0 if data.x0_w.ndim == 2 else data.x0_w * dx0
             return 0.5 * (r2 + jnp.sum(rp * rp) + jnp.sum(rx0 * rx0))
 
         def assemble(V, p):
@@ -178,13 +179,17 @@ def make_sp_gn_solver(
             )[..., None] * jnp.eye(bd, dtype=dtype)
 
             # x0 prior: first shard, block 0.
-            x0w2 = data.x0_w**2
-            ix = jnp.arange(nx)
             gate = jnp.where(is_first, 1.0, 0.0).astype(dtype)
-            D = D.at[0, ix, ix].add(gate * x0w2)
-            gx = gx.at[0, :nx].add(
-                gate * x0w2 * (v_ext[0, :nx] - data.x0_prior)
-            )
+            dx0 = v_ext[0, :nx] - data.x0_prior
+            if data.x0_w.ndim == 2:  # full sqrt-information prior
+                lam_x0 = data.x0_w.T @ data.x0_w
+                D = D.at[0, :nx, :nx].add(gate * lam_x0)
+                gx = gx.at[0, :nx].add(gate * (lam_x0 @ dx0))
+            else:
+                x0w2 = data.x0_w**2
+                ix = jnp.arange(nx)
+                D = D.at[0, ix, ix].add(gate * x0w2)
+                gx = gx.at[0, :nx].add(gate * x0w2 * dx0)
             return D, E, B, hpp, gx, gpe
 
         def body(st: _SpState) -> _SpState:

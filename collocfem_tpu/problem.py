@@ -56,7 +56,12 @@ class ProblemData(NamedTuple):
       p_prior:  (nq,) parameter prior mean.
       p_w:      (nq,) sqrt prior weights (0 = no prior on that parameter).
       x0_prior: (nx,) initial-state prior mean.
-      x0_w:     (nx,) sqrt prior weights (0 = free initial state).
+      x0_w:     (nx,) sqrt prior weights (0 = free initial state), or a
+                full (nx, nx) sqrt-information matrix L (residual
+                L @ (x(t0) − x0_prior); cost term uses Λ = LᵀL).  The
+                matrix form carries a correlated arrival-cost prior —
+                the moving-horizon estimator (collocfem_tpu.mhe) feeds
+                the EKF-propagated window prior through it.
     """
 
     y: jnp.ndarray
@@ -141,12 +146,13 @@ class EstimationProblem:
     diff: jnp.ndarray        # (d+1, d+1)
     widths: jnp.ndarray      # (N,)
     elem_times: jnp.ndarray  # (N, d+1)
-    dscale: jnp.ndarray      # (N, d, nx)
+    dscale: jnp.ndarray      # (N, d, nx) — or (N, d+1, nx) for 'full' rule
     mrows: jnp.ndarray       # (N, S, d+1)
     mmask: jnp.ndarray       # (N, S)
     mtimes: jnp.ndarray      # (N, S)
     node_idx: np.ndarray     # (N, d+1) static host ints
     dtype: jnp.dtype
+    defect_rule: str = "interior"
 
     # -- construction ---------------------------------------------------------
     @staticmethod
@@ -157,16 +163,35 @@ class EstimationProblem:
         defect_weight=1.0,
         pad_to: int | None = None,
         dtype=None,
+        defect_rule: str = "interior",
     ) -> "EstimationProblem":
-        """Precompute all static tables (host numpy -> device arrays)."""
+        """Precompute all static tables (host numpy -> device arrays).
+
+        ``defect_rule`` selects the process-noise quadrature:
+          * ``"interior"`` (default): defects at local nodes 1..d — the
+            classical square collocation system (d defect rows pin the d
+            free coefficients per element given the shared left node).
+          * ``"full"``: defects at ALL d+1 LGL nodes, each carrying its own
+            quadrature weight.  The least-squares (MAP) objective then
+            integrates the process-noise density with the COMPLETE LGL rule
+            — the interior rule drops the w₀·h/2 left-endpoint term, a
+            relative O(1/(d(d+1))) quadrature bias that dominates the gap
+            to the exact Kalman/RTS smoother on linear-Gaussian problems
+            (tests/test_mhe.py, tests/test_kalman_parity.py).  Use for
+            filtering-grade MAP estimation; costs one extra residual row
+            per state per element.
+        """
         dtype = dtype or (
             jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         )
         n, d, nx = mesh.num_elements, mesh.degree, model.nx
         dummy_vals = np.zeros((np.asarray(meas_times).size, model.ny))
         _, rg, mg, tg = group_measurements(mesh, meas_times, dummy_vals, pad_to)
-        # Defect scale: sqrt(w_k * h_e / 2) * defect_weight at nodes 1..d.
-        w = mesh.basis.weights[1:]  # (d,)
+        # Defect scale: sqrt(w_k * h_e / 2) * defect_weight at the
+        # collocated nodes (1..d, or 0..d for the 'full' rule).
+        if defect_rule not in ("interior", "full"):
+            raise ValueError(f"unknown defect_rule {defect_rule!r}")
+        w = mesh.basis.weights if defect_rule == "full" else mesh.basis.weights[1:]
         h = mesh.widths  # (N,)
         dw = np.broadcast_to(np.asarray(defect_weight, dtype=np.float64), (nx,))
         scale = np.sqrt(w[None, :, None] * h[:, None, None] * 0.5) * dw
@@ -187,6 +212,7 @@ class EstimationProblem:
             mtimes=np.asarray(tg, dtype),
             node_idx=mesh.elem_node_idx,
             dtype=dtype,
+            defect_rule=defect_rule,
         )
 
     def pack_data(
@@ -216,6 +242,8 @@ class EstimationProblem:
         if u_nodes is None:
             u_nodes = np.zeros((n, d + 1, m.nu))
         bc = lambda v, k: np.broadcast_to(np.asarray(v, dtype=np.float64), (k,))
+        x0w = np.asarray(x0_weight, dtype=np.float64)
+        x0w = x0w if x0w.ndim == 2 else bc(x0_weight, m.nx)
         return ProblemData(
             y=jnp.asarray(yg, self.dtype),
             u=jnp.asarray(u_nodes, self.dtype),
@@ -227,7 +255,7 @@ class EstimationProblem:
             x0_prior=jnp.asarray(
                 np.zeros(m.nx) if x0_prior is None else x0_prior, self.dtype
             ),
-            x0_w=jnp.asarray(bc(x0_weight, m.nx), self.dtype),
+            x0_w=jnp.asarray(x0w, self.dtype),
         )
 
     # -- sizes ----------------------------------------------------------------
@@ -261,7 +289,12 @@ class EstimationProblem:
         d, nx = self.mesh.degree, self.model.nx
         xe = xe_flat.reshape(d + 1, self.nv)
         x_nodes, u_nodes = xe[:, :nx], ed.u
-        defect = res_ops.defect_residual(
+        defect_fn = (
+            res_ops.defect_residual_all
+            if self.defect_rule == "full"
+            else res_ops.defect_residual
+        )
+        defect = defect_fn(
             self.model, self.diff, ed.width, ed.times, x_nodes, u_nodes, p,
             ed.dscale,
         )
@@ -290,7 +323,8 @@ class EstimationProblem:
         ed = self._elem_data(data)
         r_elems = jax.vmap(self.elem_residual, in_axes=(0, None, 0))(xe, z.p, ed)
         r_p = data.p_w * (z.p - data.p_prior)
-        r_x0 = data.x0_w * (z.V[0, : self.model.nx] - data.x0_prior)
+        dx0 = z.V[0, : self.model.nx] - data.x0_prior
+        r_x0 = data.x0_w @ dx0 if data.x0_w.ndim == 2 else data.x0_w * dx0
         return jnp.concatenate([r_elems.ravel(), r_p, r_x0])
 
     def cost(self, z: Decision, data: ProblemData) -> jnp.ndarray:

@@ -23,8 +23,10 @@ import jax.numpy as jnp
 from collocfem_tpu.ops.assemble import (
     assemble_gn,
     assemble_gn_soa,
+    assemble_newton,
     blocks_to_nodes,
     blocks_to_nodes_soa,
+    soa_from_blocks,
 )
 from collocfem_tpu.ops import doubleword
 from collocfem_tpu.problem import Decision
@@ -57,6 +59,11 @@ class SolverOptions:
     kkt_refine: int = 0      # iterative-refinement passes per KKT solve
     verbose: bool = False
     irls_delta: float = 0.0  # >0 enables Huber IRLS reweighting
+    # 'gn' drops the curvature term sum_i r_i * hess(r_i) (Gauss-Newton);
+    # 'newton' assembles the exact per-element Hessian (ops.assemble.
+    # assemble_newton) for quadratic local convergence on large-residual
+    # fits.  The LM damping/rejection logic absorbs indefiniteness.
+    hessian: str = "gn"      # 'gn' | 'newton'
 
 
 class SolveStats(NamedTuple):
@@ -102,7 +109,11 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
             # layout: block-major (K, b, b) arrays tile-pad 16x on TPU and
             # their layout shuffles dominated the iteration (see
             # solve.kkt).  Alternative methods keep the block-major path.
-            if soa:
+            if opt.hessian == "newton":
+                sys = assemble_newton(problem, st.z, data)
+                if soa:
+                    sys = soa_from_blocks(sys)
+            elif soa:
                 sys = assemble_gn_soa(problem, st.z, data)
             else:
                 sys = assemble_gn(problem, st.z, data)

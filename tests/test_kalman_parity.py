@@ -114,3 +114,34 @@ def test_map_path_matches_rts_smoother():
     # soft x1-defect weight and the single-counted shared-node quadrature
     # exactly at the costate kinks.
     assert err < 0.015, (err, scale)
+
+
+def test_full_defect_rule_tightens_smoother_parity():
+    """defect_rule='full' restores the dropped w0 quadrature weight; the
+    MAP-vs-RTS gap must shrink by an order of magnitude (the residual error
+    is then polynomial-approximation, not quadrature bias)."""
+    rng = np.random.default_rng(7)
+    t_meas, y, x_smooth = _simulate_and_smooth(rng)
+
+    model = LinearSystem(A, C=np.array([[1.0, 0.0]]))
+    from collocfem_tpu.ops.basis import make_basis
+    from collocfem_tpu.ops.mesh import Mesh
+
+    mesh = Mesh(make_basis(4), t_meas)
+    # Stiffer soft weight on the exact x1' = x2 relation than the interior-
+    # rule test: with the quadrature bias gone, the soft-constraint slack
+    # becomes the dominant error term and must be pushed down to expose it.
+    prob = EstimationProblem.build(
+        model, mesh, t_meas, defect_weight=[1e3, 1.0 / SIG_W],
+        defect_rule="full",
+    )
+    data = prob.pack_data(y[:, None], t_meas, meas_weight=1.0 / SIG_V)
+    z0 = prob.initial_guess_from_data(t_meas, y[:, None], p0=np.zeros(0))
+    z, stats = make_gn_solver(
+        prob, SolverOptions(maxiter=30, gtol=1e-8, xtol=1e-12)
+    )(z0, data)
+    assert bool(stats.converged)
+
+    x_map = np.asarray(interpolate_trajectory(mesh, z.V, t_meas))
+    err = np.max(np.abs(x_map - x_smooth))
+    assert err < 1.5e-3, err

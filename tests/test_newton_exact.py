@@ -1,0 +1,135 @@
+"""Exact-Newton assembly & solve (SolverOptions(hessian='newton')).
+
+The assembled system must equal the brute-force Hessian/gradient of the full
+cost (curvature term included — this is what distinguishes it from the GN
+J^T J check in test_assemble.py), and the LM-Newton loop must converge on a
+large-residual estimation problem at least as fast as Gauss-Newton.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from test_assemble import small_problem
+
+from collocfem_tpu.models import VanDerPol
+from collocfem_tpu.ops.assemble import (
+    assemble_gn,
+    assemble_newton,
+    blocks_to_nodes,
+    materialize_dense,
+    soa_from_blocks,
+)
+from collocfem_tpu.ops.mesh import uniform_mesh
+from collocfem_tpu.problem import Decision, EstimationProblem
+from collocfem_tpu.solve.newton import SolverOptions, make_gn_solver
+from collocfem_tpu.utils.simulate import rk4_trajectory
+
+
+def test_newton_system_matches_autodiff_hessian():
+    prob, z, data = small_problem(2)
+    sys = assemble_newton(prob, z, data)
+    H, g = materialize_dense(sys)
+
+    nv, M = prob.nv, prob.num_nodes
+    K, bd = sys.D.shape[0], sys.D.shape[1]
+    nq = z.p.shape[0]
+
+    def cost_flat(vp):
+        V = vp[: M * nv].reshape(M, nv)
+        p = vp[M * nv :]
+        return prob.cost(Decision(V, p), data)
+
+    vp = jnp.concatenate([z.V.ravel(), z.p])
+    H_want = np.asarray(jax.hessian(cost_flat)(vp))
+    g_want = np.asarray(jax.grad(cost_flat)(vp))
+
+    n_pad = K * bd - M * nv
+    perm = np.concatenate([
+        np.arange(M * nv),
+        np.full(n_pad, -1),
+        np.arange(M * nv, M * nv + nq),
+    ])
+    H_np, g_np = np.asarray(H), np.asarray(g)
+    want_H = np.zeros_like(H_np)
+    want_g = np.zeros_like(g_np)
+    for a, ia in enumerate(perm):
+        if ia < 0:
+            want_H[a, a] = 1.0  # SPD pad identity
+            continue
+        want_g[a] = g_want[ia]
+        for b, ib in enumerate(perm):
+            if ib >= 0:
+                want_H[a, b] = H_want[ia, ib]
+    np.testing.assert_allclose(H_np, want_H, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(g_np, want_g, rtol=1e-9, atol=1e-11)
+
+
+def test_newton_differs_from_gn_by_curvature():
+    """Sanity: at a non-zero-residual iterate the two systems differ."""
+    prob, z, data = small_problem(3)
+    Hn, _ = materialize_dense(assemble_newton(prob, z, data))
+    Hg, _ = materialize_dense(assemble_gn(prob, z, data))
+    assert float(jnp.max(jnp.abs(Hn - Hg))) > 1e-3
+
+
+def test_soa_from_blocks_roundtrip():
+    prob, z, data = small_problem(4)
+    sys = assemble_newton(prob, z, data)
+    soa = soa_from_blocks(sys)
+    np.testing.assert_array_equal(
+        np.asarray(soa.D), np.moveaxis(np.asarray(sys.D), 0, -1)
+    )
+    np.testing.assert_array_equal(np.asarray(soa.gx).T, np.asarray(sys.gx))
+
+
+def _noisy_vdp_problem(sigma=0.3, seed=11):
+    """Large measurement noise => large residuals at the optimum, where the
+    curvature term matters and exact Newton shines."""
+    model = VanDerPol()
+    mesh = uniform_mesh(0.0, 8.0, num_elements=16, degree=4)
+    t_meas = np.linspace(0.1, 7.9, 60)
+    p_true = jnp.asarray([1.0, 1.0])
+    xs = rk4_trajectory(
+        model.f, jnp.asarray([2.0, 0.0]), jnp.asarray(np.linspace(0, 8, 801)),
+        u_fn=lambda t: jnp.zeros((1,)), p=p_true,
+    )
+    y_clean = np.interp(t_meas, np.linspace(0, 8, 801), np.asarray(xs)[:, 0])
+    rng = np.random.default_rng(seed)
+    y = (y_clean + sigma * rng.standard_normal(60))[:, None]
+    prob = EstimationProblem.build(model, mesh, t_meas, defect_weight=30.0)
+    data = prob.pack_data(y, t_meas, meas_weight=1.0 / sigma)
+    z0 = prob.initial_guess_from_data(t_meas, y, p0=np.array([0.5, 0.5]))
+    return prob, z0, data
+
+
+def test_newton_quadratic_local_convergence():
+    """Near a large-residual optimum, GN converges only linearly (its rate
+    floor is the curvature-to-Hessian ratio it drops), while exact Newton
+    is quadratic.  Measured on this fixture: from a perturbed optimum at
+    gtol=1e-11, Newton reaches ‖g‖≈7e-12 in 19 iterations; GN stalls at
+    ‖g‖≈2e-7 (lam railed) after 31."""
+    prob, z0, data = _noisy_vdp_problem()
+    zg, sg = make_gn_solver(
+        prob, SolverOptions(maxiter=60, gtol=1e-8, method="cr")
+    )(z0, data)
+    assert bool(sg.converged)
+
+    rng = np.random.default_rng(5)
+    z_local = Decision(
+        V=zg.V + 0.02 * jnp.asarray(rng.standard_normal(zg.V.shape)),
+        p=zg.p + jnp.asarray([0.05, -0.04]),
+    )
+    loc = dict(maxiter=40, gtol=1e-11, method="cr")
+    zg2, sg2 = make_gn_solver(prob, SolverOptions(**loc))(z_local, data)
+    zn2, sn2 = make_gn_solver(
+        prob, SolverOptions(**loc, hessian="newton")
+    )(z_local, data)
+    # Same optimum from both.
+    np.testing.assert_allclose(np.asarray(zn2.p), np.asarray(zg2.p), atol=1e-5)
+    # Newton genuinely meets the tight gradient tolerance…
+    assert float(sn2.grad_norm) < 1e-10
+    # …which GN cannot (linear-rate floor), by orders of magnitude…
+    assert float(sg2.grad_norm) > 100 * float(sn2.grad_norm)
+    # …and in fewer iterations.
+    assert int(sn2.iterations) < int(sg2.iterations)
