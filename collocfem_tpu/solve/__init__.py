@@ -16,6 +16,15 @@ from collocfem_tpu.solve.auglag import (
     make_ocp_solver,
     solve_ocp,
 )
+from collocfem_tpu.solve.bounds import (
+    BoundedOptions,
+    BoundedStats,
+    Bounds,
+    bounded_gauss_newton,
+    make_bounded_solver,
+    make_bounds,
+    project_interior,
+)
 from collocfem_tpu.solve.blocktri import (
     blocktri_solve_cr,
     blocktri_solve_dense,
@@ -48,4 +57,11 @@ __all__ = [
     "state_std",
     "element_covariance",
     "trajectory_std",
+    "Bounds",
+    "BoundedOptions",
+    "BoundedStats",
+    "make_bounds",
+    "project_interior",
+    "make_bounded_solver",
+    "bounded_gauss_newton",
 ]
