@@ -71,6 +71,17 @@ def main():
     )
     wall = time.perf_counter() - t0
 
+    # Converged (time-to-solution) solve: early exit on gradient/step
+    # tolerances, from the same cold start — the honest counterpart of the
+    # TPU converged ladder (bench.py converged mode, north_star's "full
+    # Newton ESTIMATION" sentence).
+    t0 = time.perf_counter()
+    Vc, pc, infoc = gauss_newton_baseline(
+        base, V0, p0, maxiter=50, gtol=1e-10, xtol=1e-12
+    )
+    conv_wall = time.perf_counter() - t0
+    conv_err = float(np.max(np.abs(pc - np.array([MU_TRUE, B_TRUE]))))
+
     out = {
         "config": {
             "model": "vdp", "elements": args.elements, "degree": 4,
@@ -81,6 +92,10 @@ def main():
         "final_cost": float(info["cost"]),
         "iterations": info["iterations"],
         "p_estimate": [float(v) for v in p],
+        "converged_wall_s": conv_wall,
+        "converged_iterations": infoc["iterations"],
+        "converged_p_err": conv_err,
+        "converged_p": [float(v) for v in pc],
         "machine": platform.processor() or platform.machine(),
         "backend": "scipy-SuperLU",
     }

@@ -9,6 +9,11 @@ parameter vector p, which couples them only through the tiny (nq, nq)
 parameter Schur complement — the single cross-device reduction per iteration
 is a ``psum`` of that Schur block and its gradient (SURVEY.md §2c DP row).
 
+The accept/damping logic is the SHARED gain-ratio + Nielsen + double-word
+loop (solve.lm_core), the same body as the single-device headline solver —
+a plain f32 `c_try < cost` test freezes below ~cost·6e-8 resolution exactly
+on the large total-element-count batches this path exists for.
+
 Structure per iteration (all on device):
   per experiment e:  A_e dx_e + B_e dp = -gx_e   (block-tridiagonal A_e)
   shared:            sum_e B_e^T dx_e + (C_e) dp = -sum_e gp_e
@@ -19,19 +24,25 @@ Structure per iteration (all on device):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+from collocfem_tpu.ops import doubleword as dw
 from collocfem_tpu.ops.einsum_hp import einsum_hp
 from collocfem_tpu.ops.smallblocks import spd_solve
 
 from collocfem_tpu.ops.assemble import assemble_gn, blocks_to_nodes
 from collocfem_tpu.problem import Decision
 from collocfem_tpu.solve.blocktri import SOLVERS
-from collocfem_tpu.solve.newton import HISTORY_COLS, SolveStats, SolverOptions
+from collocfem_tpu.solve.lm_core import LMAux, lm_loop, psum_dw
+from collocfem_tpu.solve.newton import (
+    HISTORY_COLS,
+    SolveStats,
+    SolverOptions,
+    stats_from_lm,
+)
 
 
 class BatchDecision(NamedTuple):
@@ -43,6 +54,21 @@ class BatchDecision(NamedTuple):
 
 def _psum_maybe(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def batched_chain_solver(tile_e: int = 128):
+    """The TPU hot path for short per-experiment chains: the ENTIRE batch
+    of block-tridiagonal factorizations + solves runs in one Mosaic
+    program (ops.blocktri_pallas.batched_thomas_solve), experiments riding
+    the vector lanes — the per-chain XLA pipeline costs one kernel launch
+    per elimination step, which dominates at K ~ 10 blocks."""
+    from collocfem_tpu.ops.blocktri_pallas import batched_thomas_solve
+
+    def solver(D, E, G):
+        return batched_thomas_solve(D, E, G, tile_e=tile_e)
+
+    solver.batched = True
+    return solver
 
 
 def _local_cost(problem, z: BatchDecision, data_batch):
@@ -61,6 +87,23 @@ def batch_cost(problem, z: BatchDecision, data_batch, p_prior, p_w):
     """
     rp = p_w * (z.p - p_prior)
     return _local_cost(problem, z, data_batch) + 0.5 * jnp.sum(rp * rp)
+
+
+def _batch_cost_dw(problem, z: BatchDecision, data_batch, p_prior, p_w,
+                   dp_axis):
+    """Double-word total cost: per-experiment residual vectors accumulated
+    in DW locally, summed exactly across "dp" shards (lm_core.psum_dw), the
+    shared prior added once (identically on every shard)."""
+    r = jax.vmap(
+        lambda V, d: problem.residual_vector(Decision(V=V, p=z.p), d),
+        in_axes=(0, 0),
+    )(z.V, data_batch).ravel()
+    s = dw.pairwise_sum(dw.DW(*dw.two_prod(r, r)))
+    if dp_axis is not None:
+        s = psum_dw(s, dp_axis)
+    rp = p_w * (z.p - p_prior)
+    s = dw.add(s, dw.pairwise_sum(dw.DW(*dw.two_prod(rp, rp))))
+    return dw.mul_single(s, 0.5)
 
 
 def shared_gn_step(
@@ -85,7 +128,8 @@ def shared_gn_step(
         ``chain_solver.batched = True``.
       dp_axis: mesh axis name for the parameter psum (None = single shard).
     Returns:
-      (dV (n_exp, M, nv), dp (nq,), gnorm).
+      (dV (n_exp, M, nv), dp (nq,), gnorm, aux) where aux carries the
+      globally-reduced accept quantities (lm_core.LMAux sans step data).
     """
     chain_solver = chain_solver or SOLVERS["cr"]
     nq = problem.model.nq
@@ -134,7 +178,28 @@ def shared_gn_step(
     dp = -spd_solve(s_tot, r_tot[:, None])[:, 0]
     dx = -(a_g + einsum_hp("ekbq,q->ekb", a_b, dp))
     dV = jax.vmap(lambda d: blocks_to_nodes(d, problem.num_nodes, problem.nv))(dx)
-    return dV, dp, gnorm
+
+    # Globally-reduced accept quantities for the shared LM loop.  The
+    # damping matrix is block-diagonal (lam*dmax_e on experiment e's state
+    # blocks, lam*smax on p), so the damping quadratic form is
+    #   sᵀΛ̂s = Σ_e dmax_e‖dx_e‖² + smax‖dp‖².
+    gdot_dw = dw.dot(sys_b.gx.ravel(), dx.ravel())
+    sds_loc = jnp.sum(dmax * jnp.sum(dx * dx, axis=(1, 2)))
+    sn2_loc = jnp.sum(dx * dx)
+    if dp_axis is not None:
+        gdot_dw = psum_dw(gdot_dw, dp_axis)
+        sds_loc = jax.lax.psum(sds_loc, dp_axis)
+        sn2_loc = jax.lax.psum(sn2_loc, dp_axis)
+    gp_tot = _psum_maybe(jnp.sum(sys_b.gp, 0), dp_axis) + pw2 * (z.p - p_prior)
+    gdot = dw.to_single(gdot_dw) + jnp.vdot(gp_tot, dp)
+    sds = sds_loc + smax * jnp.vdot(dp, dp)
+    snorm2 = sn2_loc + jnp.vdot(dp, dp)
+    aux = LMAux(
+        gnorm=gnorm, gdot=gdot, sds=sds,
+        step_norm=jnp.sqrt(snorm2),
+        alpha=jnp.asarray(1.0, dV.dtype),
+    )
+    return dV, dp, gnorm, aux
 
 
 def make_multi_experiment_solver(
@@ -148,65 +213,36 @@ def make_multi_experiment_solver(
     with a leading experiment axis on every leaf and ``p_w == 0`` (the shared
     prior is passed explicitly).  With ``dp_axis`` set, call inside
     shard_map with experiments sharded over that axis.
+
+    ``chain_solver=None`` resolves like SolverOptions.method='auto': the
+    single-kernel batched Pallas Thomas solve on TPU, per-chain cyclic
+    reduction elsewhere.
     """
     opt = options
-
-    def total_cost(z, data_batch, p_prior, p_w):
-        c_loc = _local_cost(problem, z, data_batch)
-        c_loc = _psum_maybe(c_loc, dp_axis)
-        rp = p_w * (z.p - p_prior)
-        return c_loc + 0.5 * jnp.sum(rp * rp)
+    if chain_solver is None and jax.default_backend() == "tpu":
+        chain_solver = batched_chain_solver()
 
     def solve(z0: BatchDecision, data_batch, p_prior, p_w):
-        def body(st):
-            z, cost, lam, it, done, gnorm0, hist = st
-            dV, dp, gnorm = shared_gn_step(
+        def trial_fn(z, carry, lam):
+            dV, dp, gnorm, aux = shared_gn_step(
                 problem, z, data_batch, lam, p_prior, p_w,
                 chain_solver=chain_solver, dp_axis=dp_axis,
             )
             z_try = BatchDecision(V=z.V + dV, p=z.p + dp)
-            c_try = total_cost(z_try, data_batch, p_prior, p_w)
-            step_norm = jnp.sqrt(
-                _psum_maybe(jnp.sum(dV * dV), dp_axis) + jnp.sum(dp * dp)
+            ct = _batch_cost_dw(
+                problem, z_try, data_batch, p_prior, p_w, dp_axis
             )
-            accept = jnp.isfinite(c_try) & (c_try < cost)
-            z_new = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accept, a, b), z_try, z
-            )
-            cost_new = jnp.where(accept, c_try, cost)
-            lam_new = jnp.where(
-                accept,
-                jnp.maximum(lam * opt.lam_down, opt.lam_min),
-                jnp.minimum(lam * opt.lam_up, opt.lam_max),
-            )
-            # Same termination portfolio as solve.newton: gradient norm,
-            # relative cost drop, or accepted-step size.
-            rel_drop = (cost - c_try) / jnp.maximum(cost, 1e-300)
-            new_done = (
-                (gnorm < opt.gtol)
-                | (accept & (opt.ftol > 0.0) & (rel_drop < opt.ftol))
-                | ((opt.xtol > 0.0) & accept & (step_norm < opt.xtol))
-            )
-            hist = hist.at[it].set(
-                jnp.stack([cost, gnorm, lam, step_norm,
-                           accept.astype(cost.dtype)])
-            )
-            return (z_new, cost_new, lam_new, it + 1, new_done, gnorm, hist)
+            return z_try, carry, ct, aux
 
-        dtype = z0.V.dtype
-        c0 = total_cost(z0, data_batch, p_prior, p_w)
-        st0 = (
-            z0, c0, jnp.asarray(opt.lam0, dtype), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), jnp.asarray(jnp.inf, dtype),
-            jnp.zeros((opt.maxiter, len(HISTORY_COLS)), dtype),
+        c0 = _batch_cost_dw(problem, z0, data_batch, p_prior, p_w, dp_axis)
+        st = lm_loop(
+            z0, (), c0, trial_fn,
+            maxiter=opt.maxiter, lam0=opt.lam0,
+            gtol=opt.gtol, ftol=opt.ftol, xtol=opt.xtol,
+            lam_min=opt.lam_min, lam_max=opt.lam_max,
+            dtype=z0.V.dtype, verbose=opt.verbose,
         )
-        st = jax.lax.while_loop(
-            lambda s: (~s[4]) & (s[3] < opt.maxiter), body, st0
-        )
-        z, cost, lam, it, done, gnorm, hist = st
-        stats = SolveStats(iterations=it, converged=done, cost=cost,
-                           grad_norm=gnorm, lam=lam, history=hist)
-        return z, stats
+        return st.z, stats_from_lm(st)
 
     if dp_axis is None:
         return jax.jit(solve)

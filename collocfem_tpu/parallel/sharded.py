@@ -15,10 +15,14 @@ the "sp" mesh axis.  Each device
      substructuring (collocfem_tpu.parallel.spike) — one interface
      all-gather per solve,
   4. psum's the (nq, nq) parameter Schur pieces and the scalars (cost,
-     gradient norm) that drive the Levenberg loop.
+     gradient norm, double-word accept quantities) that drive the LM loop.
 
-Every device steps the SAME lax.while_loop, so control flow stays
-synchronous with no extra communication.
+The accept/damping logic is the SHARED gain-ratio + Nielsen + double-word
+loop (solve.lm_core) — the same body as the single-device headline solver,
+so the sharded path inherits the f32-resolution and λ-oscillation fixes it
+exists for at K ~ 10³–10⁴ scale.  All accept inputs are globally reduced
+(psum/pmax/psum_dw), so every device steps the SAME lax.while_loop with no
+extra communication.
 
 Sizing rule: K = N+1 blocks must divide by the sp axis size with >= 2
 blocks per shard.  The (single) pad block and the one dummy element that
@@ -27,11 +31,10 @@ squares the element count live on the last shard and are masked out.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
+from collocfem_tpu.ops import doubleword as dw
 from collocfem_tpu.ops.einsum_hp import einsum_hp
 from collocfem_tpu.ops.smallblocks import spd_solve
 from jax.sharding import PartitionSpec as P
@@ -40,7 +43,8 @@ from collocfem_tpu.ops.assemble import scatter_gn_blocks
 from collocfem_tpu.parallel.meshes import SP_AXIS
 from collocfem_tpu.parallel.spike import blocktri_solve_spike
 from collocfem_tpu.problem import Decision, ProblemData
-from collocfem_tpu.solve.newton import HISTORY_COLS, SolverOptions, SolveStats
+from collocfem_tpu.solve.lm_core import LMAux, lm_loop, psum_dw
+from collocfem_tpu.solve.newton import SolverOptions, stats_from_lm
 
 
 def _halo_from_right(x, axis_name, sp):
@@ -55,17 +59,6 @@ def _spill_to_right(x, axis_name, sp):
     return jax.lax.ppermute(
         x, axis_name, [(i, i + 1) for i in range(sp - 1)]
     )
-
-
-class _SpState(NamedTuple):
-    V: jnp.ndarray
-    p: jnp.ndarray
-    cost: jnp.ndarray
-    lam: jnp.ndarray
-    it: jnp.ndarray
-    done: jnp.ndarray
-    gnorm: jnp.ndarray
-    history: jnp.ndarray
 
 
 def make_sp_gn_solver(
@@ -112,21 +105,33 @@ def make_sp_gn_solver(
             v_ext = jnp.concatenate([V, nxt], axis=0)        # (mb*d+1, nv)
             return v_ext, v_ext[elem_idx].reshape(mb, -1)
 
-        def local_r2(V, p):
-            """Masked sum of squared element residuals on this shard."""
+        def total_cost_dw(V, p):
+            """Global double-word cost: local residual partials summed
+            exactly across shards (lm_core.psum_dw), priors added once
+            (identically on every shard)."""
             _, xe = gather_local(V)
             r = jax.vmap(problem.elem_residual, in_axes=(0, None, 0))(
                 xe, p, ed
+            ) * emask[:, None]
+            rf = r.ravel()
+            s = psum_dw(
+                dw.pairwise_sum(dw.DW(*dw.two_prod(rf, rf))), axis_name
             )
-            return jnp.sum((r * emask[:, None]) ** 2)
-
-        def total_cost(V, p):
-            r2 = jax.lax.psum(local_r2(V, p), axis_name)
             rp = data.p_w * (p - data.p_prior)
-            x0 = jax.lax.all_gather(V[:1], axis_name)[0, 0, :nx]
+            # x(t0) lives on shard 0; a masked psum fetches it with
+            # INVARIANT type (all_gather would type it varying and poison
+            # the LM loop carry — see lm_core.replicate).
+            x0 = jax.lax.psum(
+                jnp.where(sidx == 0, V[0, :nx], jnp.zeros((nx,), dtype)),
+                axis_name,
+            )
             dx0 = x0 - data.x0_prior
             rx0 = data.x0_w @ dx0 if data.x0_w.ndim == 2 else data.x0_w * dx0
-            return 0.5 * (r2 + jnp.sum(rp * rp) + jnp.sum(rx0 * rx0))
+            extra = jnp.concatenate([rp, rx0])
+            s = dw.add(
+                s, dw.pairwise_sum(dw.DW(*dw.two_prod(extra, extra)))
+            )
+            return dw.mul_single(s, 0.5)
 
         def assemble(V, p):
             v_ext, xe = gather_local(V)
@@ -192,12 +197,13 @@ def make_sp_gn_solver(
                 gx = gx.at[0, :nx].add(gate * x0w2 * dx0)
             return D, E, B, hpp, gx, gpe
 
-        def body(st: _SpState) -> _SpState:
-            D, E, B, hpp_loc, gx, gpe_loc = assemble(st.V, st.p)
+        def trial_fn(z, carry, lam):
+            V, p = z
+            D, E, B, hpp_loc, gx, gpe_loc = assemble(V, p)
             pw2 = data.p_w**2
             C = jax.lax.psum(hpp_loc, axis_name) + jnp.diag(pw2)
             gp = jax.lax.psum(gpe_loc, axis_name) + pw2 * (
-                st.p - data.p_prior
+                p - data.p_prior
             )
             gnorm = jax.lax.pmax(
                 jnp.maximum(
@@ -217,7 +223,7 @@ def make_sp_gn_solver(
             dmax = jax.lax.pmax(jnp.max(dgd), axis_name)
             if nq:
                 dmax = jnp.maximum(dmax, jnp.max(jnp.diag(C)))
-            lam_abs = st.lam * jnp.maximum(dmax, jnp.finfo(dtype).tiny)
+            lam_abs = lam * jnp.maximum(dmax, jnp.finfo(dtype).tiny)
             dd = D + lam_abs * eye_b
             inv = 1.0 / jnp.sqrt(einsum_hp("kii->ki", dd))
             inv_nxt = _halo_from_right(inv[:1], axis_name, sp)
@@ -252,51 +258,35 @@ def make_sp_gn_solver(
                 dx = -a_g * inv
             dV = dx.reshape(mb * d, nv)
 
-            V_try, p_try = st.V + dV, st.p + dp
-            c_try = total_cost(V_try, p_try)
-            step_norm = jnp.sqrt(
-                jax.lax.psum(jnp.sum(dV * dV), axis_name) + jnp.sum(dp * dp)
-            )
-            accept = jnp.isfinite(c_try) & (c_try < st.cost)
-            V_new = jnp.where(accept, V_try, st.V)
-            p_new = jnp.where(accept, p_try, st.p)
-            cost_new = jnp.where(accept, c_try, st.cost)
-            lam_new = jnp.where(
-                accept,
-                jnp.maximum(st.lam * opt.lam_down, opt.lam_min),
-                jnp.minimum(st.lam * opt.lam_up, opt.lam_max),
-            )
-            rel_drop = (st.cost - c_try) / jnp.maximum(st.cost, 1e-300)
-            done = (
-                (gnorm < opt.gtol)
-                | (accept & (opt.ftol > 0.0) & (rel_drop < opt.ftol))
-                | ((opt.xtol > 0.0) & accept & (step_norm < opt.xtol))
-            )
-            hist = st.history.at[st.it].set(
-                jnp.stack([
-                    st.cost, gnorm, st.lam, step_norm, accept.astype(dtype)
-                ])
-            )
-            return _SpState(V_new, p_new, cost_new, lam_new, st.it + 1,
-                            done, gnorm, hist)
+            z_try = (V + dV, p + dp)
+            ct = total_cost_dw(*z_try)
 
-        st0 = _SpState(
-            V=V_loc, p=p0,
-            cost=total_cost(V_loc, p0),
-            lam=jnp.asarray(opt.lam0, dtype),
-            it=jnp.asarray(0, jnp.int32),
-            done=jnp.asarray(False),
-            gnorm=jnp.asarray(jnp.inf, dtype),
-            history=jnp.zeros((opt.maxiter, len(HISTORY_COLS)), dtype),
+            # Globally-reduced double-word accept quantities: local DW
+            # partials of g·s and s·s, exact cross-shard sum, then the
+            # replicated parameter terms added ONCE (identically on every
+            # shard).
+            gdot_dw = psum_dw(dw.dot(gx.ravel(), dx.ravel()), axis_name)
+            snorm2_dw = psum_dw(dw.dot(dx.ravel(), dx.ravel()), axis_name)
+            gdot = dw.to_single(gdot_dw) + jnp.vdot(gp, dp)
+            snorm2 = dw.to_single(snorm2_dw) + jnp.vdot(dp, dp)
+            aux = LMAux(
+                gnorm=gnorm, gdot=gdot, sds=dmax * snorm2,
+                step_norm=jnp.sqrt(snorm2),
+                alpha=jnp.asarray(1.0, dtype),
+            )
+            return z_try, carry, ct, aux
+
+        st = lm_loop(
+            (V_loc, p0), (), total_cost_dw(V_loc, p0), trial_fn,
+            maxiter=opt.maxiter, lam0=opt.lam0,
+            gtol=opt.gtol, ftol=opt.ftol, xtol=opt.xtol,
+            lam_min=opt.lam_min, lam_max=opt.lam_max,
+            dtype=dtype, verbose=opt.verbose,
         )
-        st = jax.lax.while_loop(
-            lambda s: (~s.done) & (s.it < opt.maxiter), body, st0
-        )
-        stats = SolveStats(
-            iterations=st.it, converged=st.done, cost=st.cost,
-            grad_norm=st.gnorm, lam=st.lam, history=st.history,
-        )
-        return st.V, st.p, stats
+        V_fin, p_fin = st.z
+        return V_fin, p_fin, stats_from_lm(st)
+
+    from collocfem_tpu.solve.newton import SolveStats
 
     ed_spec = jax.tree_util.tree_map(
         lambda _: P(axis_name), _elemdata_proto(problem)

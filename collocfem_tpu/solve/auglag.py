@@ -33,13 +33,17 @@ import jax.numpy as jnp
 
 from collocfem_tpu.ops.einsum_hp import einsum_hp
 
+from collocfem_tpu.ops import doubleword as dw
 from collocfem_tpu.ops.assemble import (
     BlockTriSystem,
     blocks_to_nodes,
+    blocks_to_nodes_soa,
     scatter_gn_blocks,
+    soa_from_blocks,
 )
 from collocfem_tpu.problem import Decision
-from collocfem_tpu.solve.kkt import solve_kkt
+from collocfem_tpu.solve.kkt import solve_kkt, solve_kkt_soa
+from collocfem_tpu.solve.lm_core import LMAux, fused_quadforms, lm_loop
 
 OUTER_HISTORY_COLS = (
     "objective", "cviol", "mu", "rho", "inner_iters", "grad_norm"
@@ -68,7 +72,10 @@ class ALBarrierOptions:
     lam_max: float = 1e12
     ftb: float = 0.995        # fraction-to-boundary factor
     max_backtrack: int = 30
-    method: str = "cr"        # block-tridiagonal solver
+    # 'auto' resolves at build time like solve.newton: single-kernel SPIKE
+    # SoA solve on TPU (the measured hot path — the per-level block-major
+    # CR pays a 16x (K, b, b) tile-padding tax), per-level CR elsewhere.
+    method: str = "auto"      # 'auto'|'spike'|'cr'|'cr_dw'|'scan'|...
 
 
 class OCPStats(NamedTuple):
@@ -116,6 +123,10 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
     (g(z0) < 0 at every node); use ``problem.initial_guess()``.
     """
     opt = options
+    if opt.method == "auto":
+        method = "spike" if jax.default_backend() == "tpu" else "cr"
+        opt = dataclasses.replace(opt, method=method)
+    soa = opt.method in ("spike", "cr_dw")
     model, mesh = problem.model, problem.mesh
     n, d = mesh.num_elements, mesh.degree
     nv, nx, nq = problem.nv, model.nx, model.nq
@@ -174,6 +185,32 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
             + jnp.sum(tr * tr)
         )
         return 0.5 * lsq + _barrier_value(g, mu) + eq_path_merit(z, mult, rho)
+
+    def merit_dw(z, mult, rho, mu):
+        """Double-word merit: the least-squares terms must resolve
+        improvements below f32's ~merit·6e-8 resolution or the inner LM
+        freezes on fine meshes (same failure solve.newton's DW cost
+        fixes); the barrier term is added at base precision."""
+        ve = problem.gather_elements(z.V)
+        sr = jnp.sqrt(rho)
+        r_el = jax.vmap(elem_res, in_axes=(0, None, 0, None, 0, 0, 0, 0))(
+            ve, z.p, mult.defect, sr, problem.widths, problem.elem_times,
+            problem.cscale, problem.qscale,
+        )
+        r0, rf = boundary_terms(z, mult, rho)
+        x, _ = problem.split(z.V)
+        parts = [r_el.ravel(), r0, rf, terminal_res(x[-1], z.p)]
+        if ne:
+            parts.append(
+                jax.vmap(node_eq_res, in_axes=(0, None, 0, None, 0))(
+                    z.V, z.p, mult.path_eq, sr, problem.node_times
+                ).ravel()
+            )
+        r = jnp.concatenate(parts)
+        s = dw.mul_single(dw.pairwise_sum(dw.DW(*dw.two_prod(r, r))), 0.5)
+        return dw.add_single(
+            s, _barrier_value(problem.path_constraints(z), mu)
+        )
 
     # -- assembly ------------------------------------------------------------
     def assemble(z, mult, rho, mu):
@@ -291,47 +328,53 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
 
     # -- inner damped GN loop -------------------------------------------------
     def inner_solve(z, mult, rho, mu, lam_lm):
-        phi0 = merit(z, mult, rho, mu)
+        """One AL/barrier subproblem via the SHARED LM loop (solve.lm_core):
+        gain-ratio acceptance on the double-word merit, Nielsen damping,
+        λ-railed early exit; the step is fraction-to-boundary + feasibility
+        clipped and α enters the predicted decrease exactly."""
 
-        def body(st):
-            z, phi, lam, it, done, gnorm = st
+        def trial_fn(z, carry, lam):
             sys, gvals, jgv, jgp = assemble(z, mult, rho, mu)
             gnorm = jnp.maximum(
                 jnp.max(jnp.abs(sys.gx)), jnp.max(jnp.abs(sys.gp), initial=0.0)
             )
-            dx, dp = solve_kkt(sys, lam, opt.method)
-            dV = blocks_to_nodes(dx, num_nodes, nv)
+            diag = jnp.einsum("kii->ki", sys.D).ravel()
+            if sys.C.shape[0]:
+                diag = jnp.concatenate([diag, jnp.diag(sys.C)])
+            dmax = jnp.max(diag)
+            if soa:
+                dx, dp = solve_kkt_soa(
+                    soa_from_blocks(sys), lam,
+                    dw=opt.method == "cr_dw", spike=opt.method == "spike",
+                )
+                dV = blocks_to_nodes_soa(dx, num_nodes, nv)
+            else:
+                dx, dp = solve_kkt(sys, lam, opt.method)
+                dV = blocks_to_nodes(dx, num_nodes, nv)
             alpha = line_search_alpha(z, dV, dp, gvals, jgv, jgp)
             z_try = Decision(V=z.V + alpha * dV, p=z.p + alpha * dp)
-            phi_try = merit(z_try, mult, rho, mu)
-            accept = jnp.isfinite(phi_try) & (phi_try < phi)
-            z_new = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accept, a, b), z_try, z
+            ct = merit_dw(z_try, mult, rho, mu)
+            gdot, snorm2 = fused_quadforms(
+                sys.gx.ravel(), sys.gp, dx.ravel(), dp
             )
-            phi_new = jnp.where(accept, phi_try, phi)
-            lam_new = jnp.where(
-                accept,
-                jnp.maximum(lam * opt.lam_down, opt.lam_min),
-                jnp.minimum(lam * opt.lam_up, opt.lam_max),
+            aux = LMAux(
+                gnorm=gnorm, gdot=gdot, sds=dmax * snorm2,
+                step_norm=alpha * jnp.sqrt(snorm2), alpha=alpha,
             )
-            # Inner tolerance loosens with mu (classic interior-point
-            # schedule): no point polishing a barrier subproblem to below
-            # its own bias.
-            gtol_eff = jnp.maximum(opt.gtol, 0.1 * mu)
-            step_sq = jnp.sum(dV * dV) + jnp.sum(dp * dp)
-            done = (gnorm < gtol_eff) | (
-                accept & (alpha * alpha * step_sq < 1e-30)
-            )
-            return (z_new, phi_new, lam_new, it + 1, done, gnorm)
+            return z_try, carry, ct, aux
 
-        st0 = (
-            z, phi0, lam_lm, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), sqm(jnp.inf),
+        # Inner tolerance loosens with mu (classic interior-point
+        # schedule): no point polishing a barrier subproblem to below
+        # its own bias.
+        gtol_eff = jnp.maximum(jnp.asarray(opt.gtol, problem.dtype), 0.1 * mu)
+        st = lm_loop(
+            z, (), merit_dw(z, mult, rho, mu), trial_fn,
+            maxiter=opt.inner_maxiter, lam0=lam_lm,
+            gtol=gtol_eff, xtol=1e-15,
+            lam_min=opt.lam_min, lam_max=opt.lam_max,
+            dtype=problem.dtype,
         )
-        z, phi, lam, it, done, gnorm = jax.lax.while_loop(
-            lambda s: (~s[4]) & (s[3] < opt.inner_maxiter), body, st0
-        )
-        return z, lam, it, gnorm
+        return st.z, jnp.minimum(st.lam, 1e3), st.it, st.gnorm
 
     # -- outer AL loop ---------------------------------------------------------
     @jax.jit

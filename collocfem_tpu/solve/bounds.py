@@ -36,10 +36,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from collocfem_tpu.ops.assemble import assemble_gn, blocks_to_nodes
+from collocfem_tpu.ops import doubleword as dw
+from collocfem_tpu.ops.assemble import (
+    assemble_gn,
+    blocks_to_nodes,
+    blocks_to_nodes_soa,
+    soa_from_blocks,
+)
 from collocfem_tpu.problem import Decision
 from collocfem_tpu.solve.auglag import _node_block_scatter
-from collocfem_tpu.solve.kkt import solve_kkt
+from collocfem_tpu.solve.kkt import solve_kkt, solve_kkt_soa
+from collocfem_tpu.solve.lm_core import LMAux, fused_quadforms, lm_loop
 
 BOUNDS_HISTORY_COLS = ("cost", "grad_norm", "mu", "inner_iters")
 
@@ -62,16 +69,24 @@ def make_bounds(problem, p_lo=None, p_hi=None, x_lo=None, x_hi=None) -> Bounds:
     argument or per-component) mean unbounded."""
     nq, nx = problem.model.nq, problem.model.nx
 
-    def fill(spec, n, sign):
+    def fill(spec, n, sign, name):
         out = np.full((n,), sign * np.inf)
         if spec is not None:
-            spec = [sign * np.inf if s is None else s for s in np.ravel(spec)]
-            out[:] = np.asarray(spec, dtype=np.float64)
+            flat = np.ravel(spec)
+            if np.ndim(spec) == 0:
+                # A bare scalar bounds EVERY component, explicitly.
+                flat = np.broadcast_to(flat, (n,))
+            elif flat.size != n:
+                raise ValueError(
+                    f"{name} has {flat.size} entries but needs {n} "
+                    "(one per component; use None for unbounded entries)"
+                )
+            out[:] = [sign * np.inf if s is None else s for s in flat]
         return out
 
     b = Bounds(
-        p_lo=fill(p_lo, nq, -1.0), p_hi=fill(p_hi, nq, +1.0),
-        x_lo=fill(x_lo, nx, -1.0), x_hi=fill(x_hi, nx, +1.0),
+        p_lo=fill(p_lo, nq, -1.0, "p_lo"), p_hi=fill(p_hi, nq, +1.0, "p_hi"),
+        x_lo=fill(x_lo, nx, -1.0, "x_lo"), x_hi=fill(x_hi, nx, +1.0, "x_hi"),
     )
     if np.any(b.p_lo >= b.p_hi) or np.any(b.x_lo >= b.x_hi):
         raise ValueError("lower bounds must be strictly below upper bounds")
@@ -113,7 +128,10 @@ class BoundedOptions:
     lam_min: float = 1e-14
     lam_max: float = 1e12
     ftb: float = 0.995        # fraction-to-boundary factor
-    method: str = "cr"        # block-tridiagonal solver (solve.kkt)
+    # 'auto' resolves at build time like solve.newton: the single-kernel
+    # SPIKE SoA solve on TPU (the measured hot path), per-level CR
+    # elsewhere.  'spike'/'cr_dw' route through the SoA pipeline.
+    method: str = "auto"      # 'auto'|'spike'|'cr'|'cr_dw'|'scan'|...
 
 
 class BoundedStats(NamedTuple):
@@ -133,6 +151,10 @@ def make_bounded_solver(
     inactive-bound problems reproduce the unconstrained GN solution.
     """
     opt = options
+    if opt.method == "auto":
+        method = "spike" if jax.default_backend() == "tpu" else "cr"
+        opt = dataclasses.replace(opt, method=method)
+    soa = opt.method in ("spike", "cr_dw")
     dtype = problem.dtype
     nx = problem.model.nx
     nq = problem.model.nq
@@ -172,6 +194,13 @@ def make_bounded_solver(
 
     def merit(z, data, mu):
         return problem.cost(z, data) + barrier_value(z, mu)
+
+    def merit_dw(z, data, mu):
+        """Double-word merit: the estimation term must resolve improvements
+        below f32's ~cost·6e-8 resolution or the inner LM freezes before
+        converging at headline mesh sizes (same failure solve.newton's DW
+        cost fixes); the barrier term is added at base precision."""
+        return dw.add_single(problem.cost_dw(z, data), barrier_value(z, mu))
 
     def add_barrier_terms(sys, z, mu):
         sp_lo, sp_hi, sx_lo, sx_hi = slacks(z)
@@ -221,53 +250,62 @@ def make_bounded_solver(
         return jnp.minimum(jnp.asarray(1.0, dtype), a)
 
     def inner_solve(z, data, mu, lam_lm):
-        phi0 = merit(z, data, mu)
+        """One barrier subproblem via the SHARED LM loop (solve.lm_core):
+        gain-ratio acceptance on the double-word merit, Nielsen damping,
+        λ-railed early exit — the same body as the headline solver, with
+        the step fraction-to-boundary-clipped (α enters the predicted
+        decrease exactly; see lm_core's α-aware quadratic model)."""
 
-        def body(st):
-            z, phi, lam, it, done, gnorm = st
+        def trial_fn(z, carry, lam):
             sys = add_barrier_terms(assemble_gn(problem, z, data), z, mu)
             gnorm = jnp.maximum(
                 jnp.max(jnp.abs(sys.gx)),
                 jnp.max(jnp.abs(sys.gp), initial=0.0),
             )
-            dx, dp = solve_kkt(sys, lam, opt.method)
-            dV = blocks_to_nodes(dx, num_nodes, nv)
+            diag = jnp.einsum("kii->ki", sys.D).ravel()
+            if sys.C.shape[0]:
+                diag = jnp.concatenate([diag, jnp.diag(sys.C)])
+            dmax = jnp.max(diag)
+            if soa:
+                dx, dp = solve_kkt_soa(
+                    soa_from_blocks(sys), lam,
+                    dw=opt.method == "cr_dw", spike=opt.method == "spike",
+                )
+                dV = blocks_to_nodes_soa(dx, num_nodes, nv)
+            else:
+                dx, dp = solve_kkt(sys, lam, opt.method)
+                dV = blocks_to_nodes(dx, num_nodes, nv)
             alpha = ftb_alpha(z, dV, dp)
             z_try = Decision(V=z.V + alpha * dV, p=z.p + alpha * dp)
-            phi_try = merit(z_try, data, mu)
-            accept = jnp.isfinite(phi_try) & (phi_try < phi)
-            z_new = jax.tree_util.tree_map(
-                lambda a_, b_: jnp.where(accept, a_, b_), z_try, z
+            ct = merit_dw(z_try, data, mu)
+            gdot, snorm2 = fused_quadforms(
+                sys.gx.ravel(), sys.gp, dx.ravel(), dp
             )
-            phi_new = jnp.where(accept, phi_try, phi)
-            lam_new = jnp.where(
-                accept,
-                jnp.maximum(lam * opt.lam_down, opt.lam_min),
-                jnp.minimum(lam * opt.lam_up, opt.lam_max),
+            aux = LMAux(
+                gnorm=gnorm, gdot=gdot, sds=dmax * snorm2,
+                step_norm=alpha * jnp.sqrt(snorm2), alpha=alpha,
             )
-            gtol_eff = jnp.maximum(
-                jnp.asarray(opt.gtol, dtype), 0.1 * mu
-            )
-            step_sq = jnp.sum(dV * dV) + jnp.sum(dp * dp)
-            done = (gnorm < gtol_eff) | (
-                accept & (alpha * alpha * step_sq < 1e-30)
-            )
-            return (z_new, phi_new, lam_new, it + 1, done, gnorm)
+            return z_try, carry, ct, aux
 
-        st0 = (
-            z, phi0, lam_lm, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), jnp.asarray(jnp.inf, dtype),
+        gtol_eff = jnp.maximum(jnp.asarray(opt.gtol, dtype), 0.1 * mu)
+        st = lm_loop(
+            z, (), merit_dw(z, data, mu), trial_fn,
+            maxiter=opt.inner_maxiter, lam0=lam_lm,
+            gtol=gtol_eff, xtol=1e-15,
+            lam_min=opt.lam_min, lam_max=opt.lam_max,
+            dtype=dtype,
         )
-        z, phi, lam, it, done, gnorm = jax.lax.while_loop(
-            lambda s: (~s[4]) & (s[3] < opt.inner_maxiter), body, st0
-        )
-        return z, lam, it, gnorm
+        return st.z, st.lam, st.it, st.gnorm
 
     @jax.jit
     def solve(z0: Decision, data):
         def outer(o, carry):
             z, mu, lam_lm, hist = carry
             z, lam_lm, inner_it, gnorm = inner_solve(z, data, mu, lam_lm)
+            # A λ-railed inner exit leaves lam at lam_max; the next barrier
+            # subproblem (smaller μ) is a NEW landscape — clamp the warm
+            # start so it isn't frozen behind 25 Nielsen down-steps.
+            lam_lm = jnp.minimum(lam_lm, 1e3)
             hist = hist.at[o].set(
                 jnp.stack([
                     problem.cost(z, data), gnorm, mu,

@@ -1,0 +1,257 @@
+"""Shared Levenberg-Marquardt outer loop (gain ratio + Nielsen + DW accept).
+
+ONE implementation of the reference's "line search / damping" outer logic
+(SURVEY.md §2a "Newton/GN/IRLS driver": assemble → solve → accept/reject →
+damping update), used by every LM-family solver in the package:
+
+  * solve.newton       — single-device estimation (the headline path),
+  * parallel.sharded   — element-chain ("sp") sharded estimation,
+  * parallel.batch     — shared-parameter multi-experiment ("dp"),
+  * solve.bounds       — interior-point inner loop (α-clipped steps).
+
+Why one loop matters (round-2 verdict item 2): the plain `c_try < cost`
+float32 accept test freezes once true per-step improvements drop below
+~cost·6e-8, and a fixed ×0.2/×5 damping ladder oscillates period-2 around
+the viable λ — both measured at the N=10k headline scale.  The fixes
+(double-word cost resolution, gain-ratio acceptance, Nielsen's adaptive
+schedule) previously lived only in solve/newton.py; this module is that
+loop body factored out so the sharded/batched/bounded solvers inherit it.
+
+The loop body is pure jnp over reduced SCALARS, so it runs unchanged under
+``shard_map``: callers reduce their per-shard quantities (psum/pmax/
+:func:`psum_dw`) inside ``trial_fn`` before returning, and every shard then
+steps the identical while_loop with no further communication.
+
+Acceptance model.  The trial step s solves (H + λ·Λ)s = −g for a caller-
+chosen positive-definite damping matrix Λ (isotropic λ·dmax·I on the
+single-system paths, block-diagonal per-experiment on the batched path),
+optionally applied as α·s with a fraction-to-boundary α ∈ (0, 1].  The
+quadratic model's predicted decrease is then exactly
+
+    pred(α) = −α(1 − α/2)·(g·s) + (α²/2)·λ·(sᵀΛ̂s),   Λ = λ·Λ̂,
+
+(α = 1 reduces to the familiar ½(λ·sᵀΛ̂s − g·s)), and the step is accepted
+iff the DOUBLE-WORD actual decrease is positive AND the gain ratio
+ρ = actual/pred exceeds 1e-4 — a junk step from a noise-indefinite f32
+factorization has enormous ‖s‖ (huge pred) but near-zero actual decrease,
+so ρ ≈ 0 rejects it even when a fine-resolution plain decrease test would
+accept it and wander the soft modes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from collocfem_tpu.ops import doubleword
+
+HISTORY_COLS = ("cost", "grad_norm", "lam", "step_norm", "accepted")
+
+
+class LMAux(NamedTuple):
+    """Reduced scalars the accept test needs.
+
+    All values are GLOBAL: a trial_fn running under shard_map must
+    psum/pmax its per-shard partials before returning, so every shard
+    takes identical accept/damping decisions with no extra communication.
+    """
+
+    gnorm: jnp.ndarray      # inf-norm of the gradient at the CURRENT iterate
+    gdot: jnp.ndarray       # g · s for the unclipped step s
+    sds: jnp.ndarray        # sᵀ Λ̂ s — damping quadratic form (Λ = λ·Λ̂)
+    step_norm: jnp.ndarray  # ‖α·s‖ (xtol test + history)
+    alpha: jnp.ndarray      # applied step fraction (1 unless FTB-clipped)
+
+
+class LMState(NamedTuple):
+    z: Any                 # current iterate (arbitrary pytree)
+    carry: Any             # caller state threaded through accepts (e.g. the
+    #                        assembled system at z for speculative reuse)
+    cost: jnp.ndarray      # high word of the current cost/merit
+    cost_lo: jnp.ndarray   # low word (double-word accumulation)
+    lam: jnp.ndarray       # dimensionless damping
+    nu: jnp.ndarray        # Nielsen reject-escalation factor
+    it: jnp.ndarray
+    done: jnp.ndarray
+    gnorm: jnp.ndarray
+    history: jnp.ndarray   # (maxiter, 5) per-iteration table
+
+
+def replicate(x, axis_name):
+    """Re-type a bit-identical-across-shards value as INVARIANT, exactly.
+
+    shard_map's varying-manual-axes checker types every ``all_gather``
+    output (and everything derived from it) as varying, which poisons
+    while_loop carries and P() out_specs even when the value is provably
+    identical on every shard.  A masked psum — only shard 0 contributes,
+    the rest add exact zeros — returns the same bits with invariant type
+    for ANY shard count (a psum of value/n would round for non-pow2 n).
+    """
+    first = jax.lax.axis_index(axis_name) == 0
+    return jax.lax.psum(jnp.where(first, x, jnp.zeros_like(x)), axis_name)
+
+
+def psum_dw(x: doubleword.DW, axis_name: str) -> doubleword.DW:
+    """Exact-ish cross-shard sum of double-word scalars.
+
+    A plain psum of the high words rounds at the BASE precision
+    (~eps·|total|), which would throw away exactly the resolution the DW
+    accept test exists for.  Instead the (hi, lo) pairs are all-gathered
+    (a tiny collective: 2 scalars per shard) and pairwise-summed in DW on
+    every shard — error O(eps²) and bit-identical across shards; the
+    result is re-typed invariant (:func:`replicate`) so it can drive loop
+    carries and replicated outputs.
+    """
+    hi = jax.lax.all_gather(x.hi, axis_name)
+    lo = jax.lax.all_gather(x.lo, axis_name)
+    s = doubleword.pairwise_sum(doubleword.DW(hi.ravel(), lo.ravel()))
+    return doubleword.DW(
+        replicate(s.hi, axis_name), replicate(s.lo, axis_name)
+    )
+
+
+def lm_loop(
+    z0,
+    carry0,
+    cost0: doubleword.DW,
+    trial_fn,
+    *,
+    maxiter: int,
+    lam0,
+    gtol=0.0,
+    ftol: float = 0.0,
+    xtol: float = 0.0,
+    lam_min: float = 1e-14,
+    lam_max: float = 1e12,
+    dtype,
+    verbose: bool = False,
+) -> LMState:
+    """Run the shared LM while_loop; returns the final :class:`LMState`.
+
+    Args:
+      z0: initial iterate (pytree of arrays).
+      carry0: caller state at z0, threaded through accepted steps —
+        ``trial_fn`` receives the carry of the CURRENT iterate and returns
+        the carry of the trial iterate; on rejection the old carry is kept.
+        Use () when unused.
+      cost0: double-word cost/merit at z0.
+      trial_fn: ``(z, carry, lam) -> (z_try, carry_try, ct: DW, aux: LMAux)``.
+        Must evaluate the trial cost in double-word precision and return
+        globally-reduced aux scalars (see :class:`LMAux`).
+      lam0 / gtol: may be traced values (e.g. interior-point inner loops
+        warm-start λ and loosen gtol with the barrier parameter μ).
+    """
+
+    def body(st: LMState) -> LMState:
+        z_try, carry_try, ct, aux = trial_fn(st.z, st.carry, st.lam)
+        c_cur = doubleword.DW(st.cost, st.cost_lo)
+        actual = doubleword.to_single(doubleword.sub(c_cur, ct))
+        a = aux.alpha
+        pred = -a * (1.0 - 0.5 * a) * aux.gdot + 0.5 * a * a * st.lam * aux.sds
+        rho = actual / jnp.maximum(pred, jnp.finfo(actual.dtype).tiny)
+        accept = (
+            jnp.isfinite(ct.hi)
+            & doubleword.less(ct, c_cur)
+            & (pred > 0.0)
+            & (rho > 1e-4)
+        )
+
+        z_new = jax.tree_util.tree_map(
+            lambda t, c: jnp.where(accept, t, c), z_try, st.z
+        )
+        carry_new = jax.tree_util.tree_map(
+            lambda t, c: jnp.where(accept, t, c), carry_try, st.carry
+        )
+        cost_new = jnp.where(accept, ct.hi, st.cost)
+        cost_lo_new = jnp.where(accept, ct.lo, st.cost_lo)
+        # Nielsen's adaptive schedule (Madsen-Nielsen-Tingleff): the λ
+        # factor tracks the gain ratio instead of a fixed up/down ladder —
+        # a rigid ×0.2/×5 ladder was measured oscillating period-2 around
+        # the viable λ and wasting half the iterations.
+        two_rho = 2.0 * rho - 1.0
+        down = jnp.maximum(
+            jnp.asarray(1.0 / 3.0, st.lam.dtype),
+            1.0 - two_rho * two_rho * two_rho,
+        )
+        lam_new = jnp.where(
+            accept,
+            jnp.maximum(st.lam * down, lam_min),
+            jnp.minimum(st.lam * st.nu, lam_max),
+        )
+        nu_new = jnp.where(
+            accept,
+            jnp.asarray(2.0, st.nu.dtype),
+            jnp.minimum(st.nu * 2.0, 64.0),
+        )
+        rel_drop = actual / jnp.maximum(st.cost, 1e-300)
+        done = (
+            (aux.gnorm < gtol)
+            | (accept & (ftol > 0.0) & (rel_drop < ftol))
+            | ((xtol > 0.0) & accept & (aux.step_norm < xtol))
+            # λ railed at lam_max: every damping level up to the cap was
+            # rejected — no further progress is possible at the working
+            # precision (post-convergence the f32 gradient-noise floor
+            # keeps gnorm above any tight gtol while the cost sits at its
+            # floor).
+            | (~accept & (lam_new >= lam_max))
+        )
+        hist = st.history.at[st.it].set(
+            jnp.stack(
+                [
+                    st.cost,
+                    aux.gnorm,
+                    st.lam,
+                    aux.step_norm,
+                    accept.astype(st.cost.dtype),
+                ]
+            )
+        )
+        if verbose:
+            jax.debug.print(
+                "it={it}  cost={c:.6e}  |g|={g:.3e}  lam={l:.3e}  "
+                "step={s:.3e}  accept={a}",
+                it=st.it, c=st.cost, g=aux.gnorm, l=st.lam,
+                s=aux.step_norm, a=accept,
+            )
+        return LMState(
+            z=z_new, carry=carry_new, cost=cost_new, cost_lo=cost_lo_new,
+            lam=lam_new, nu=nu_new, it=st.it + 1, done=done,
+            gnorm=aux.gnorm, history=hist,
+        )
+
+    st0 = LMState(
+        z=z0,
+        carry=carry0,
+        cost=cost0.hi,
+        cost_lo=cost0.lo,
+        lam=jnp.maximum(
+            jnp.asarray(lam0, dtype), jnp.finfo(dtype).eps
+        ),
+        nu=jnp.asarray(2.0, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        gnorm=jnp.asarray(jnp.inf, dtype),
+        history=jnp.zeros((maxiter, len(HISTORY_COLS)), dtype),
+    )
+    return jax.lax.while_loop(
+        lambda s: (~s.done) & (s.it < maxiter), body, st0
+    )
+
+
+def fused_quadforms(gx_flat, gp, dx_flat, dp):
+    """(g·s, s·s) in double-word precision with ONE fused reduction tree.
+
+    Row 0 sums g·s, row 1 sums s·s — 4 separate dot trees cost ~4× the
+    kernel launches for the same arithmetic (measured on the N=10k
+    headline iteration).  Returns plain (base-dtype) scalars.
+    """
+    s_cat = jnp.concatenate([dx_flat, dp])
+    lhs = jnp.stack([jnp.concatenate([gx_flat, gp]), s_cat])
+    sums = doubleword.pairwise_sum(
+        doubleword.DW(*doubleword.two_prod(lhs, s_cat[None, :])), axis=1
+    )
+    gdot = doubleword.to_single(doubleword.DW(sums.hi[0], sums.lo[0]))
+    snorm2 = doubleword.to_single(doubleword.DW(sums.hi[1], sums.lo[1]))
+    return gdot, snorm2

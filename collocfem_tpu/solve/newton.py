@@ -7,9 +7,19 @@ lax.while_loop so the full estimation loop stays on-device").
 
 The whole solve — assemble, factorize, step, accept/reject, convergence —
 is a single ``lax.while_loop`` under jit: zero host round-trips per
-iteration.  Per-iteration diagnostics are written into a fixed-size history
-array (SURVEY.md §5 "Metrics / logging": a returned per-iteration table,
-masked by iteration count, plus optional jax.debug.print tracing).
+iteration.  The loop body (gain-ratio acceptance, Nielsen damping,
+double-word cost comparison) is the shared implementation in
+:mod:`collocfem_tpu.solve.lm_core`; per-iteration diagnostics land in a
+fixed-size history table (SURVEY.md §5 "Metrics / logging").
+
+Cost reuse (speculative assembly): the Gauss-Newton path assembles at the
+TRIAL iterate each iteration and reads the trial cost off the assembly's
+own residuals (``assemble_gn*(with_cost=True)``), threading the assembled
+system through the accept decision via the lm_core carry.  Accepted steps
+then start the next iteration with their system already built — the
+standalone full-residual cost pass (~30% of the N=10k iteration wall) is
+gone entirely, and rejected steps pay one assembly instead of one assembly
+plus one residual pass.
 """
 
 from __future__ import annotations
@@ -28,11 +38,19 @@ from collocfem_tpu.ops.assemble import (
     blocks_to_nodes_soa,
     soa_from_blocks,
 )
-from collocfem_tpu.ops import doubleword
 from collocfem_tpu.problem import Decision
 from collocfem_tpu.solve.kkt import solve_kkt, solve_kkt_soa
+from collocfem_tpu.solve.lm_core import (
+    HISTORY_COLS,
+    LMAux,
+    fused_quadforms,
+    lm_loop,
+)
 
-HISTORY_COLS = ("cost", "grad_norm", "lam", "step_norm", "accepted")
+__all__ = [
+    "HISTORY_COLS", "SolverOptions", "SolveStats", "make_gn_solver",
+    "gauss_newton", "make_irls_solver",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,16 +93,16 @@ class SolveStats(NamedTuple):
     history: jnp.ndarray     # (maxiter, 5) per-iteration table
 
 
-class _LoopState(NamedTuple):
-    z: Decision
-    cost: jnp.ndarray      # high word of the current cost
-    cost_lo: jnp.ndarray   # low word (DW accumulation; 0 in f64 runs)
-    lam: jnp.ndarray
-    nu: jnp.ndarray        # Nielsen reject-escalation factor
-    it: jnp.ndarray
-    done: jnp.ndarray
-    gnorm: jnp.ndarray
-    history: jnp.ndarray
+def stats_from_lm(st) -> SolveStats:
+    """Build a :class:`SolveStats` from a finished lm_core.LMState."""
+    return SolveStats(
+        iterations=st.it,
+        converged=st.done,
+        cost=st.cost,
+        grad_norm=st.gnorm,
+        lam=st.lam,
+        history=st.history,
+    )
 
 
 def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
@@ -102,171 +120,90 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
     num_nodes = problem.num_nodes
     soa = opt.method in ("cr", "cr_dw", "spike")
 
+    def solve_step(sys, lam):
+        """KKT solve of an assembled system: (dx, dp, dV, gnorm, dmax)."""
+        gnorm = jnp.maximum(
+            jnp.max(jnp.abs(sys.gx)), jnp.max(jnp.abs(sys.gp), initial=0.0)
+        )
+        if soa:
+            dx, dp = solve_kkt_soa(
+                sys, lam, opt.kkt_refine,
+                dw=opt.method == "cr_dw",
+                spike=opt.method == "spike",
+            )
+            dV = blocks_to_nodes_soa(dx, num_nodes, nv)
+            diag = jnp.stack([sys.D[i, i] for i in range(sys.D.shape[0])])
+            dx_flat = dx.ravel()
+        else:
+            dx, dp = solve_kkt(sys, lam, opt.method, opt.kkt_refine)
+            dV = blocks_to_nodes(dx, num_nodes, nv)
+            diag = jnp.einsum("kii->ki", sys.D)
+            dx_flat = dx.ravel()
+        diag = diag.ravel()
+        if sys.C.shape[0]:
+            diag = jnp.concatenate([diag, jnp.diag(sys.C)])
+        return dx_flat, dp, dV, gnorm, jnp.max(diag)
+
+    def gx_flat(sys):
+        # g·s and s·s only need ELEMENTWISE pairing, which plain ravel
+        # preserves in both layouts — no transposes in the hot path.
+        return sys.gx.ravel()
+
     @jax.jit
     def solve(z0: Decision, data):
-        def body(st: _LoopState) -> _LoopState:
-            # Default hot path runs entirely in the SoA (chain-on-lanes)
-            # layout: block-major (K, b, b) arrays tile-pad 16x on TPU and
-            # their layout shuffles dominated the iteration (see
-            # solve.kkt).  Alternative methods keep the block-major path.
-            if opt.hessian == "newton":
-                sys = assemble_newton(problem, st.z, data)
+        if opt.hessian == "newton":
+            # Exact-Newton assembly exposes no residual vector (it works in
+            # gradient/Hessian space), so the trial cost is a standalone
+            # double-word residual pass — the non-speculative structure.
+            def trial_fn(z, carry, lam):
+                sys = assemble_newton(problem, z, data)
                 if soa:
                     sys = soa_from_blocks(sys)
-            elif soa:
-                sys = assemble_gn_soa(problem, st.z, data)
-            else:
-                sys = assemble_gn(problem, st.z, data)
-            gnorm = jnp.maximum(
-                jnp.max(jnp.abs(sys.gx)), jnp.max(jnp.abs(sys.gp), initial=0.0)
-            )
-            if soa:
-                dx, dp = solve_kkt_soa(
-                    sys, st.lam, opt.kkt_refine,
-                    dw=opt.method == "cr_dw",
-                    spike=opt.method == "spike",
+                dx_flat, dp, dV, gnorm, dmax = solve_step(sys, lam)
+                z_try = Decision(V=z.V + dV, p=z.p + dp)
+                ct = problem.cost_dw(z_try, data)
+                gdot, snorm2 = fused_quadforms(
+                    gx_flat(sys), sys.gp, dx_flat, dp
                 )
-                dV = blocks_to_nodes_soa(dx, num_nodes, nv)
-                diag_for_lam = jnp.stack(
-                    [sys.D[i, i] for i in range(sys.D.shape[0])]
+                aux = LMAux(
+                    gnorm=gnorm, gdot=gdot, sds=dmax * snorm2,
+                    step_norm=jnp.sqrt(snorm2),
+                    alpha=jnp.asarray(1.0, dV.dtype),
                 )
-            else:
-                dx, dp = solve_kkt(sys, st.lam, opt.method, opt.kkt_refine)
-                dV = blocks_to_nodes(dx, num_nodes, nv)
-                diag_for_lam = jnp.einsum("kii->ki", sys.D)
-            if sys.C.shape[0]:
-                diag_for_lam = jnp.concatenate(
-                    [diag_for_lam.ravel(), jnp.diag(sys.C)]
-                )
-            gx_flat = sys.gx.ravel()
-            dx_flat = dx.ravel()
-            z_try = Decision(V=st.z.V + dV, p=st.z.p + dp)
-            # DW cost: the accept test must resolve improvements below
-            # f32's ~cost*6e-8 resolution or LM freezes on large meshes
-            # (see EstimationProblem.cost_dw).
-            ct = problem.cost_dw(z_try, data)
-            step_norm = jnp.sqrt(jnp.sum(dV * dV) + jnp.sum(dp * dp))
-            c_cur = doubleword.DW(st.cost, st.cost_lo)
-            actual = doubleword.to_single(doubleword.sub(c_cur, ct))
+                return z_try, carry, ct, aux
 
-            # Gain-ratio acceptance (standard LM): predicted decrease of
-            # the quadratic model when (H + lam_abs I)step = -g is
-            #   pred = 0.5 * (lam_abs * ||step||^2 - g . step) > 0.
-            # A junk step from a noise-indefinite f32 factorization has
-            # enormous ||step|| (huge pred) but near-zero actual decrease
-            # -> rho ~ 0 -> rejected, even when it shaves 1e-10 off the
-            # cost.  A fine-resolution (DW) plain decrease test would
-            # ACCEPT such steps and wander the soft modes — measured on
-            # the N=10k multilevel run as a mu drift from 1.00 to 1.5.
-            dmax = jnp.max(diag_for_lam)
-            # One fused DW reduction tree for both quadratic forms: row 0
-            # sums g.s, row 1 sums s.s (4 separate dot trees cost ~4x the
-            # kernel launches for the same arithmetic).
-            s_cat = jnp.concatenate([dx_flat, dp])
-            lhs = jnp.stack([jnp.concatenate([gx_flat, sys.gp]), s_cat])
-            sums = doubleword.pairwise_sum(
-                doubleword.DW(*doubleword.two_prod(lhs, s_cat[None, :])),
-                axis=1,
-            )
-            gdot = doubleword.to_single(doubleword.DW(sums.hi[0], sums.lo[0]))
-            snorm2 = doubleword.to_single(doubleword.DW(sums.hi[1], sums.lo[1]))
-            pred = 0.5 * ((st.lam * dmax) * snorm2 - gdot)
-            rho = actual / jnp.maximum(pred, jnp.finfo(actual.dtype).tiny)
-            accept = (
-                jnp.isfinite(ct.hi)
-                & doubleword.less(ct, c_cur)
-                & (pred > 0.0)
-                & (rho > 1e-4)
-            )
+            carry0 = ()
+            c0 = problem.cost_dw(z0, data)
+        else:
+            assemble_c = assemble_gn_soa if soa else assemble_gn
 
-            z_new = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accept, a, b), z_try, st.z
-            )
-            cost_new = jnp.where(accept, ct.hi, st.cost)
-            cost_lo_new = jnp.where(accept, ct.lo, st.cost_lo)
-            # Nielsen's adaptive schedule (Madsen-Nielsen-Tingleff): the
-            # lam factor tracks the gain ratio instead of a fixed up/down
-            # ladder — a rigid x0.2/x5 ladder was measured oscillating
-            # period-2 around the viable lam (reject, accept, reject, ...)
-            # and wasting half the iterations.
-            two_rho = 2.0 * rho - 1.0
-            down = jnp.maximum(
-                jnp.asarray(1.0 / 3.0, st.lam.dtype),
-                1.0 - two_rho * two_rho * two_rho,
-            )
-            lam_new = jnp.where(
-                accept,
-                jnp.maximum(st.lam * down, opt.lam_min),
-                jnp.minimum(st.lam * st.nu, opt.lam_max),
-            )
-            nu_new = jnp.where(
-                accept,
-                jnp.asarray(2.0, st.nu.dtype),
-                jnp.minimum(st.nu * 2.0, 64.0),
-            )
-            rel_drop = actual / jnp.maximum(st.cost, 1e-300)
-            done = (
-                (gnorm < opt.gtol)
-                | (accept & (opt.ftol > 0.0) & (rel_drop < opt.ftol))
-                | ((opt.xtol > 0.0) & accept & (step_norm < opt.xtol))
-                # lam railed at lam_max: every damping level up to the cap
-                # was rejected — no further progress is possible at the
-                # working precision (observed post-convergence: the f32
-                # gradient-noise floor keeps gnorm above any tight gtol
-                # while the cost sits at its floor).
-                | (~accept & (lam_new >= opt.lam_max))
-            )
-            hist = st.history.at[st.it].set(
-                jnp.stack(
-                    [
-                        st.cost,
-                        gnorm,
-                        st.lam,
-                        step_norm,
-                        accept.astype(st.cost.dtype),
-                    ]
+            def trial_fn(z, sys, lam):
+                # ``sys`` was assembled at z by the PREVIOUS iteration (or
+                # carry0); assemble at the trial point, reusing its
+                # residuals for the double-word trial cost.
+                dx_flat, dp, dV, gnorm, dmax = solve_step(sys, lam)
+                z_try = Decision(V=z.V + dV, p=z.p + dp)
+                sys_try, ct = assemble_c(problem, z_try, data, with_cost=True)
+                gdot, snorm2 = fused_quadforms(
+                    gx_flat(sys), sys.gp, dx_flat, dp
                 )
-            )
-            if opt.verbose:
-                jax.debug.print(
-                    "it={it}  cost={c:.6e}  |g|={g:.3e}  lam={l:.3e}  "
-                    "step={s:.3e}  accept={a}",
-                    it=st.it, c=st.cost, g=gnorm, l=st.lam, s=step_norm,
-                    a=accept,
+                aux = LMAux(
+                    gnorm=gnorm, gdot=gdot, sds=dmax * snorm2,
+                    step_norm=jnp.sqrt(snorm2),
+                    alpha=jnp.asarray(1.0, dV.dtype),
                 )
-            return _LoopState(
-                z=z_new, cost=cost_new, cost_lo=cost_lo_new, lam=lam_new,
-                nu=nu_new, it=st.it + 1, done=done, gnorm=gnorm,
-                history=hist,
-            )
+                return z_try, sys_try, ct, aux
 
-        dtype = z0.V.dtype
-        c0 = problem.cost_dw(z0, data)
-        st0 = _LoopState(
-            z=z0,
-            cost=c0.hi,
-            cost_lo=c0.lo,
-            lam=jnp.maximum(
-                jnp.asarray(opt.lam0, dtype), jnp.finfo(dtype).eps
-            ),
-            nu=jnp.asarray(2.0, dtype),
-            it=jnp.asarray(0, jnp.int32),
-            done=jnp.asarray(False),
-            gnorm=jnp.asarray(jnp.inf, dtype),
-            history=jnp.zeros((opt.maxiter, len(HISTORY_COLS)), dtype),
+            carry0, c0 = assemble_c(problem, z0, data, with_cost=True)
+
+        st = lm_loop(
+            z0, carry0, c0, trial_fn,
+            maxiter=opt.maxiter, lam0=opt.lam0,
+            gtol=opt.gtol, ftol=opt.ftol, xtol=opt.xtol,
+            lam_min=opt.lam_min, lam_max=opt.lam_max,
+            dtype=z0.V.dtype, verbose=opt.verbose,
         )
-        st = jax.lax.while_loop(
-            lambda s: (~s.done) & (s.it < opt.maxiter), body, st0
-        )
-        stats = SolveStats(
-            iterations=st.it,
-            converged=st.done,
-            cost=st.cost,
-            grad_norm=st.gnorm,
-            lam=st.lam,
-            history=st.history,
-        )
-        return st.z, stats
+        return st.z, stats_from_lm(st)
 
     return solve
 
@@ -277,7 +214,8 @@ def gauss_newton(problem, z0, data, options: SolverOptions = SolverOptions()):
 
 
 def make_irls_solver(
-    problem, options: SolverOptions = SolverOptions(), n_rounds: int = 4
+    problem, options: SolverOptions = SolverOptions(), n_rounds: int = 4,
+    inner_solver=None,
 ):
     """Huber-robust estimation: iteratively reweighted Gauss-Newton.
 
@@ -291,11 +229,16 @@ def make_irls_solver(
 
     Returns ``solve(z0, data) -> (z, stats, data_weighted)``; the returned
     ``data_weighted`` carries the final per-sample weights.
+
+    ``inner_solver`` swaps the per-round solver: pass e.g.
+    ``parallel.sharded.make_sp_gn_solver(problem, dev_mesh, options)`` for
+    element-chain-sharded robust estimation (the reweighting operates on
+    global arrays either way).
     """
     if options.irls_delta <= 0:
         raise ValueError("set options.irls_delta > 0 for IRLS")
     delta = options.irls_delta
-    inner = make_gn_solver(problem, options)
+    inner = inner_solver or make_gn_solver(problem, options)
 
     @jax.jit
     def reweight(z, data, base_w):

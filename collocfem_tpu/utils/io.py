@@ -35,6 +35,8 @@ def load_measurements(path: str, *, time_column: int = 0, delimiter=None):
             if y.shape[0] != t.size:
                 y = y.T
     else:
+        if delimiter is None and ext == ".csv":
+            delimiter = ","  # .csv means comma; None = any whitespace
         raw = np.genfromtxt(
             path, delimiter=delimiter, comments="#", dtype=np.float64
         )

@@ -9,7 +9,15 @@ measurement map used for estimation.  Per-channel weights come from the
 assumed measurement covariance — the output-error method — and the state
 path is pinned to the dynamics by a stiff defect weight.
 
-Usage: python examples/aircraft_oe.py [--platform cpu|default] [--plot]
+Data can come from a FILE (the reference workflow: load flight-test
+records, estimate): ``--data examples/data/aircraft_doublet.csv`` (the
+default, committed with the repo; fixed-seed synthesis, truth in its
+header) flows through ``collocfem_tpu.utils.io.load_measurements`` —
+columns t, alpha, q, az, elevator.  ``--data ""`` (or a missing file)
+falls back to in-process synthesis with the same seed.
+
+Usage: python examples/aircraft_oe.py [--platform cpu|default]
+         [--data PATH] [--plot]
 """
 
 import sys, os
@@ -34,20 +42,9 @@ def doublet(t):
                     np.where((t >= 1.5) & (t < 2.5), -d, 0.0))
 
 
-def main():
-    ap = make_parser(__doc__)
-    args = ap.parse_args()
-    setup_jax(args)
-
-    from collocfem_tpu.models import AircraftLongitudinal
-    from collocfem_tpu.ops.mesh import uniform_mesh
-    from collocfem_tpu.problem import EstimationProblem
-    from collocfem_tpu.solve import SolverOptions
-    from collocfem_tpu.solve.newton import HISTORY_COLS, make_gn_solver
-
-    model = AircraftLongitudinal(V=V_AIR, g0=G0)
+def _synthesize():
+    """In-process fallback: same fixed-seed record as the committed file."""
     Za, Ma, Mq, Zd, Md = P_TRUE
-
     rng = np.random.default_rng(11)
     sol = solve_ivp(
         lambda t, x: [
@@ -62,10 +59,47 @@ def main():
     az = V_AIR / G0 * (Za * alpha + Zd * doublet(t_meas))
     y = np.stack([alpha, q, az], axis=1)
     y += NOISE[None, :] * rng.standard_normal(y.shape)
+    return t_meas, y, doublet(t_meas)
+
+
+def main():
+    ap = make_parser(__doc__)
+    ap.add_argument(
+        "--data",
+        default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "aircraft_doublet.csv"),
+        help="flight record (t, alpha, q, az, elevator columns; csv/npz); "
+        "'' = synthesize in-process",
+    )
+    args = ap.parse_args()
+    setup_jax(args)
+
+    from collocfem_tpu.models import AircraftLongitudinal
+    from collocfem_tpu.ops.mesh import uniform_mesh
+    from collocfem_tpu.problem import EstimationProblem
+    from collocfem_tpu.solve import SolverOptions
+    from collocfem_tpu.solve.newton import HISTORY_COLS, make_gn_solver
+    from collocfem_tpu.utils.io import load_measurements
+
+    model = AircraftLongitudinal(V=V_AIR, g0=G0)
+
+    if args.data and os.path.exists(args.data):
+        # Reference workflow: file -> load_measurements -> pack_data.  The
+        # last channel is the recorded input (elevator); everything else
+        # is a measured output.
+        t_meas, vals = load_measurements(args.data)
+        y, u_rec = vals[:, :3], vals[:, 3]
+        print(f"loaded {t_meas.size} samples from {args.data}")
+        u_of_t = lambda t: np.interp(t, t_meas, u_rec)
+    else:
+        if args.data:
+            print(f"{args.data} not found; synthesizing in-process")
+        t_meas, y, _ = _synthesize()
+        u_of_t = doublet
 
     mesh = uniform_mesh(0.0, TF, N_ELEMENTS, DEGREE)
     prob = EstimationProblem.build(model, mesh, t_meas, defect_weight=1e4)
-    u_nodes = doublet(mesh.elem_times)[..., None]
+    u_nodes = u_of_t(mesh.elem_times)[..., None]
     data = prob.pack_data(y, t_meas, u_nodes=u_nodes, meas_weight=1.0 / NOISE)
     z0 = prob.initial_guess_from_data(
         t_meas, y[:, :2], p0=[-1.0, -5.0, -1.0, -0.1, -5.0]

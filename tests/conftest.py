@@ -30,6 +30,26 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (multi-minute integration / Pallas "
+        "interpret-mode walls); also enabled by RUN_SLOW=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default suite stays under ~5 min on this box (round-2 verdict item
+    4): the multi-minute tier is opt-in, not silently absent — ``pytest
+    --runslow`` (or RUN_SLOW=1) runs everything."""
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier: use --runslow / RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     devs = jax.devices()

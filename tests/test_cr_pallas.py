@@ -19,7 +19,16 @@ def _system(rng, k, b, r, dtype=np.float64):
     return D, E, G
 
 
-@pytest.mark.parametrize("k,b,r", [(256, 8, 3), (130, 4, 1), (1024, 8, 3)])
+# Interpret-mode per-level kernels cost minutes at K >= 256 on CPU; the
+# fast tier keeps the smallest shape that still reaches two Pallas levels.
+@pytest.mark.parametrize(
+    "k,b,r",
+    [
+        pytest.param(256, 8, 3, marks=pytest.mark.slow),
+        (130, 4, 1),
+        pytest.param(1024, 8, 3, marks=pytest.mark.slow),
+    ],
+)
 def test_pallas_cr_matches_xla_path(k, b, r):
     rng = np.random.default_rng(0)
     D, E, G = _system(rng, k, b, r)
@@ -30,6 +39,7 @@ def test_pallas_cr_matches_xla_path(k, b, r):
     )
 
 
+@pytest.mark.slow
 def test_pallas_cr_residual():
     rng = np.random.default_rng(1)
     D, E, G = _system(rng, 512, 6, 2)
@@ -40,7 +50,9 @@ def test_pallas_cr_residual():
     np.testing.assert_allclose(np.asarray(AX), np.asarray(G), atol=1e-9)
 
 
-@pytest.mark.parametrize("pallas", [False, True])
+@pytest.mark.parametrize(
+    "pallas", [False, pytest.param(True, marks=pytest.mark.slow)]
+)
 def test_factor_apply_matches_one_shot(pallas):
     from collocfem_tpu.solve.blocktri import blocktri_cr_factor
 

@@ -52,7 +52,16 @@ def solve_with(prob, mesh, t_meas, y, u_nodes, method, noise=0.0, seed=0):
     return z, stats
 
 
-@pytest.mark.parametrize("method", ["dense_full", "scan", "cr"])
+# Each method compiles its own 60-iteration solver (~1 min on CPU); the
+# fast tier runs the production 'cr' path, the rest are slow-tier.
+@pytest.mark.parametrize(
+    "method",
+    [
+        pytest.param("dense_full", marks=pytest.mark.slow),
+        pytest.param("scan", marks=pytest.mark.slow),
+        "cr",
+    ],
+)
 def test_vdp_estimation_noiseless(vdp_setup, method):
     prob, mesh, t_meas, y, u_nodes, traj = vdp_setup
     z, stats = solve_with(prob, mesh, t_meas, y, u_nodes, method)
@@ -75,6 +84,7 @@ def test_vdp_estimation_noisy(vdp_setup):
     assert float(stats.cost) < 1.0
 
 
+@pytest.mark.slow
 def test_methods_agree(vdp_setup):
     prob, mesh, t_meas, y, u_nodes, _ = vdp_setup
     z_a, _ = solve_with(prob, mesh, t_meas, y, u_nodes, "cr")

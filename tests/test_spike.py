@@ -10,7 +10,14 @@ from collocfem_tpu.parallel.spike import spike_sharded_solver
 from tests.test_blocktri import dense_reference, random_spd_blocktri
 
 
-@pytest.mark.parametrize("k,b,r", [(16, 4, 3), (32, 8, 1), (64, 3, 9)])
+@pytest.mark.parametrize(
+    "k,b,r",
+    [
+        (16, 4, 3),
+        pytest.param(32, 8, 1, marks=pytest.mark.slow),
+        pytest.param(64, 3, 9, marks=pytest.mark.slow),
+    ],
+)
 def test_spike_matches_dense(eight_devices, k, b, r):
     mesh = make_device_mesh(dp=1, sp=8, devices=eight_devices)
     d_np, e_np, g_np = random_spd_blocktri(k, b, r, seed=k + b)

@@ -27,13 +27,17 @@ def _to_soa(A):
     return jnp.transpose(A, (1, 2, 0))
 
 
+# Interpret-mode walls on CPU run minutes per case; the fast tier keeps
+# the two smallest shapes (still covering padding + multi-tile interface
+# CR), the rest are slow-tier (--runslow).
 @pytest.mark.parametrize(
     "k,b,r,tiles",
     [
         (3, 2, 1, 128),   # minimum chain, tiles collapse to 1
         (7, 3, 2, 4),     # padding + tiny tiles
-        (20, 4, 3, 8),
-        (37, 8, 3, 8),    # KKT block size, K not divisible by tiles
+        pytest.param(20, 4, 3, 8, marks=pytest.mark.slow),
+        pytest.param(37, 8, 3, 8, marks=pytest.mark.slow),  # KKT block size,
+        # K not divisible by tiles
     ],
 )
 def test_matches_scan_oracle(k, b, r, tiles):
@@ -57,6 +61,7 @@ def test_plan_shapes():
     assert t * l >= 20 and l >= 3 and (t & (t - 1)) == 0
 
 
+@pytest.mark.slow
 def test_illconditioned_chain():
     # 1-D-Poisson-like chain (cond ~ K^2), the collocation KKT regime.
     k, b, r = 80, 4, 2
@@ -76,6 +81,7 @@ def test_illconditioned_chain():
     )
 
 
+@pytest.mark.slow
 def test_gn_solver_spike_end_to_end():
     """method='spike' drives the full estimation loop to the same answer."""
     from collocfem_tpu.models import VanDerPol
