@@ -120,15 +120,16 @@ def run_converged(elements, coarsen=4, levels=3):
 
     The single-shot f32 solve is conditioning-limited at K ~ 10^4
     (cond ~ K², past the f32 Cholesky cliff); nested iteration converges
-    each mesh and prolongs (BASELINE.md "Converged solutions...").  Host-
-    side inter-level interpolation is INSIDE the timed region — it is part
-    of time-to-solution.
+    each mesh and prolongs (BASELINE.md "Converged solutions...").  The
+    inter-level prolongation is a jitted DEVICE op with static gather
+    tables (ops.mesh.make_prolongation) — no host interpolation or
+    d2h/h2d round-trips inside the timed region.
     """
     import jax
     import jax.numpy as jnp
 
     from collocfem_tpu.models import VanDerPol
-    from collocfem_tpu.ops.mesh import interpolate_trajectory, uniform_mesh
+    from collocfem_tpu.ops.mesh import make_prolongation, uniform_mesh
     from collocfem_tpu.problem import Decision, EstimationProblem
     from collocfem_tpu.solve import SolverOptions
     from collocfem_tpu.solve.newton import make_gn_solver
@@ -141,6 +142,7 @@ def run_converged(elements, coarsen=4, levels=3):
     ns[-1] = elements
 
     lvls = []
+    prev_mesh = None
     for i, n in enumerate(ns):
         mesh = uniform_mesh(0.0, TF, n, 4)
         prob = EstimationProblem.build(
@@ -155,20 +157,24 @@ def run_converged(elements, coarsen=4, levels=3):
             maxiter=60 if i == 0 else 30, gtol=0.0,
             lam0=3e-6 if i == 0 else 1e-9,
         )
-        lvls.append((mesh, prob, data, make_gn_solver(prob, opts)))
+        prolong = (
+            None if prev_mesh is None
+            else jax.jit(make_prolongation(prev_mesh, mesh.node_times))
+        )
+        lvls.append((prob, data, make_gn_solver(prob, opts), prolong))
+        prev_mesh = mesh
 
-    def ladder():
+    def ladder(timer=None):
         z = None
-        prev_mesh = None
-        for mesh, prob, data, solve in lvls:
+        for li, (prob, data, solve, prolong) in enumerate(lvls):
             if z is None:
                 z0 = prob.initial_guess_from_data(t_meas, y, p0=[0.5, 0.5])
             else:
-                V0 = interpolate_trajectory(prev_mesh, np.asarray(z.V),
-                                            mesh.node_times)
-                z0 = Decision(V=jnp.asarray(V0, prob.dtype), p=z.p)
+                z0 = Decision(V=prolong(z.V).astype(prob.dtype), p=z.p)
             z, stats = solve(z0, data)
-            prev_mesh = mesh
+            if timer is not None:        # per-level phase split (adds syncs)
+                jax.block_until_ready(z)
+                timer.append(time.perf_counter())
         jax.block_until_ready(z)
         float(np.asarray(stats.cost))   # trustworthy d2h sync (see _timed_reps)
         return z, stats
@@ -180,10 +186,14 @@ def run_converged(elements, coarsen=4, levels=3):
           f"p={p}", file=sys.stderr)
 
     wall = _timed_reps(lambda: ladder(), reps=3)
-    z, _ = ladder()
+    # Instrumented rep: per-level split (extra syncs -> reported, not timed).
+    marks = [time.perf_counter()]
+    z, _ = ladder(timer=marks)
+    splits = np.diff(np.asarray(marks))
     p = np.asarray(z.p, dtype=np.float64)
     p_err = float(np.max(np.abs(p - P_TRUE)))
-    print(f"converged: wall={wall:.4f} s  p={p}  err={p_err:.2e}",
+    print(f"converged: wall={wall:.4f} s  p={p}  err={p_err:.2e}  "
+          f"level-split={np.array2string(splits, precision=4)}",
           file=sys.stderr)
     if p_err >= 1e-4:
         print("WARNING: converged run missed the 1e-4 target",

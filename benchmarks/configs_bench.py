@@ -143,7 +143,7 @@ def config4_aircraft(reps):
     }
 
 
-def config5_batched(reps, n_exp, elements=10):
+def config5_batched(reps, n_exp, elements=10, layout="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -200,14 +200,15 @@ def config5_batched(reps, n_exp, elements=10):
     p_prior = jnp.zeros(2, prob.dtype)
     p_w = jnp.full((2,), 1e-3, prob.dtype)
     solve = make_multi_experiment_solver(
-        prob, SolverOptions(maxiter=15, gtol=0.0, lam0=1e-6, lam_max=1e30)
+        prob, SolverOptions(maxiter=15, gtol=0.0, lam0=1e-6, lam_max=1e30),
+        layout=layout,
     )
     wall, compile_s, (z, stats) = _bench(
         solve, (z0, data_batch, p_prior, p_w), reps)
     p = np.asarray(z.p)
     return wall, compile_s, {
         "experiments": n_exp, "elements_each": elements, "iters": 15,
-        "total_elements": n_exp * elements,
+        "total_elements": n_exp * elements, "layout": layout,
         "p_rel_err": float(np.max(np.abs(
             p / np.array([MU_TRUE, B_TRUE]) - 1.0))),
     }
@@ -218,6 +219,9 @@ def main():
     ap.add_argument("--configs", default="2,3,4,5")
     ap.add_argument("--experiments", type=int, default=1024)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--c5-layout", default="auto",
+                    help="config 5 pipeline: auto|soa|blocks (before/after "
+                    "for the batched-SoA-assembly change)")
     args = ap.parse_args()
 
     from collocfem_tpu.utils.cache import enable_persistent_cache
@@ -231,7 +235,8 @@ def main():
         "3": ("pendulum_swingup_ocp", lambda: config3_pendulum(args.reps)),
         "4": ("aircraft_oe_n200", lambda: config4_aircraft(args.reps)),
         "5": (f"batched_{args.experiments}exp",
-              lambda: config5_batched(args.reps, args.experiments)),
+              lambda: config5_batched(args.reps, args.experiments,
+                                      layout=args.c5_layout)),
     }
     for key in args.configs.split(","):
         name, fn = runners[key.strip()]

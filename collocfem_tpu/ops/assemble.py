@@ -349,6 +349,126 @@ def blocks_to_nodes_soa(dx: jnp.ndarray, num_nodes: int, nv: int) -> jnp.ndarray
     return dx.T.reshape(k * (bd // nv), nv)[:num_nodes]
 
 
+def assemble_gn_soa_batched(problem, Vb, p, data_batch, with_cost: bool = False):
+    """Batched-experiment SoA assembly: ONE concatenated chain for the whole
+    batch (BASELINE.json config 5's hot path).
+
+    The per-experiment block-tridiagonal systems are laid side by side on
+    the lane axis, experiment-major: chain slot ``x*K + k`` holds experiment
+    x's block k, and the coupling block at each experiment's last slot is
+    left ZERO, so the concatenated matrix is exactly block-diagonal over
+    experiments — a valid block-tridiagonal chain the headline single-kernel
+    SPIKE solver (ops.spike_pallas) factors as-is.  The parameter strip
+    B and corner C accumulate over ALL experiments, so the arrowhead Schur
+    complement of the concatenated system IS the shared-parameter Schur sum
+    of parallel.batch (SURVEY.md §3.5).
+
+    Versus ``vmap(assemble_gn)`` (block-major (E, K, b, b), 16x tile-padding
+    and a per-field layout shuffle before any SoA solver), every scatter
+    here is a static slice on the minor axes of (bd, bd, E, K) intermediates
+    and the final reshape to (bd, bd, E*K) is layout-free.
+
+    Args:
+      Vb: (E, M, nv) per-experiment node values.
+      p: (nq,) SHARED parameters.
+      data_batch: ProblemData pytree with a leading experiment axis on every
+        leaf.  Per-experiment p priors (data.p_w) are honored (summed into
+        C/gp) but the batch solvers pass them as zero and add the shared
+        prior once at the Schur level.
+      with_cost: also return the double-word LOCAL cost (defects +
+        measurements + per-experiment priors; the caller adds the shared
+        parameter prior once and psums across "dp" shards).
+    Returns:
+      BlockTriSystemSoA with chain length E*K (and optionally the DW cost).
+    """
+    from collocfem_tpu.ops import doubleword as dw
+
+    mesh, model = problem.mesh, problem.model
+    n, d, nv, nq = mesh.num_elements, mesh.degree, problem.nv, model.nq
+    k, bd, s = n + 1, d * nv, (d + 1) * nv
+    nx = model.nx
+    n_exp = Vb.shape[0]
+
+    def per_exp(V, data):
+        xe = problem.gather_elements(V)
+        ed = problem._elem_data(data)
+
+        def per_elem(xe_flat, edata):
+            r = problem.elem_residual(xe_flat, p, edata)
+            jx, jp = jax.jacfwd(problem.elem_residual, argnums=(0, 1))(
+                xe_flat, p, edata
+            )
+            return r, jx, jp
+
+        return jax.vmap(per_elem, in_axes=(0, 0))(xe, ed)
+
+    r, jx, jp = jax.vmap(per_exp, in_axes=(0, 0))(Vb, data_batch)
+    # jx (E, N, m, s), jp (E, N, m, nq), r (E, N, m).  Normal-equation
+    # einsums emit (…, E, N) so the chain scatter below is static slices.
+    hxx = einsum_hp("xemi,xemj->ijxe", jx, jx)       # (s, s, E, N)
+    hxp = einsum_hp("xemi,xemq->iqxe", jx, jp)       # (s, nq, E, N)
+    hpp = einsum_hp("xemq,xemr->qr", jp, jp)         # (nq, nq)
+    gxe = einsum_hp("xemi,xem->ixe", jx, r)          # (s, E, N)
+    gpe = einsum_hp("xemq,xem->q", jp, r)            # (nq,)
+
+    dtype = Vb.dtype
+    D = jnp.zeros((bd, bd, n_exp, k), dtype)
+    D = D.at[:, :, :, :n].add(hxx[:bd, :bd])
+    D = D.at[:nv, :nv, :, 1:].add(hxx[bd:, bd:])
+    E = jnp.zeros((bd, bd, n_exp, k), dtype)
+    E = E.at[:, :nv, :, :n].add(hxx[:bd, bd:])       # slot k-1 stays 0:
+    #                                 experiments decouple at the boundary
+    B = jnp.zeros((bd, nq, n_exp, k), dtype)
+    B = B.at[:, :, :, :n].add(hxp[:bd])
+    B = B.at[:nv, :, :, 1:].add(hxp[bd:])
+    gx = jnp.zeros((bd, n_exp, k), dtype)
+    gx = gx.at[:, :, :n].add(gxe[:bd])
+    gx = gx.at[:nv, :, 1:].add(gxe[bd:])
+
+    # Per-experiment priors + SPD pad rows in one fused diagonal scatter.
+    pw2 = data_batch.p_w**2                          # (E, nq)
+    C = hpp + jnp.diag(jnp.sum(pw2, axis=0))
+    gp = gpe + jnp.sum(pw2 * (p[None, :] - data_batch.p_prior), axis=0)
+    dx0 = Vb[:, 0, :nx] - data_batch.x0_prior        # (E, nx)
+    diag_add = jnp.zeros((bd, n_exp, k), dtype)
+    diag_add = diag_add.at[nv:, :, k - 1].set(1.0)
+    if data_batch.x0_w.ndim == 3:                    # full sqrt-info priors
+        lam_x0 = einsum_hp("xij,xik->jkx", data_batch.x0_w, data_batch.x0_w)
+        D = D.at[:nx, :nx, :, 0].add(lam_x0)
+        gx = gx.at[:nx, :, 0].add(
+            einsum_hp("ijx,xj->ix", lam_x0, dx0)
+        )
+        r_x0 = einsum_hp("xij,xj->xi", data_batch.x0_w, dx0)
+    else:
+        x0w2 = data_batch.x0_w**2                    # (E, nx)
+        diag_add = diag_add.at[:nx, :, 0].add(x0w2.T)
+        gx = gx.at[:nx, :, 0].add((x0w2 * dx0).T)
+        r_x0 = data_batch.x0_w * dx0
+    rows = jnp.arange(bd)
+    D = D.at[rows, rows, :, :].add(diag_add)
+
+    out = BlockTriSystemSoA(
+        D=D.reshape(bd, bd, n_exp * k),
+        E=E.reshape(bd, bd, n_exp * k),
+        B=B.reshape(bd, nq, n_exp * k),
+        C=C,
+        gx=gx.reshape(bd, n_exp * k),
+        gp=gp,
+    )
+    if with_cost:
+        rf = r.ravel()
+        sdw = dw.pairwise_sum(dw.DW(*dw.two_prod(rf, rf)))
+        extra = jnp.concatenate(
+            [
+                (data_batch.p_w * (p[None, :] - data_batch.p_prior)).ravel(),
+                r_x0.ravel(),
+            ]
+        )
+        sdw = dw.add(sdw, dw.pairwise_sum(dw.DW(*dw.two_prod(extra, extra))))
+        return out, dw.mul_single(sdw, 0.5)
+    return out
+
+
 def materialize_dense(sys: BlockTriSystem) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Expand to a dense (K*bd+nq)^2 matrix + gradient (tests / tiny meshes)."""
     k, bd = sys.num_blocks, sys.block_size

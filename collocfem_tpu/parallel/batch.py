@@ -33,7 +33,11 @@ from collocfem_tpu.ops import doubleword as dw
 from collocfem_tpu.ops.einsum_hp import einsum_hp
 from collocfem_tpu.ops.smallblocks import spd_solve
 
-from collocfem_tpu.ops.assemble import assemble_gn, blocks_to_nodes
+from collocfem_tpu.ops.assemble import (
+    assemble_gn,
+    assemble_gn_soa_batched,
+    blocks_to_nodes,
+)
 from collocfem_tpu.problem import Decision
 from collocfem_tpu.solve.blocktri import SOLVERS
 from collocfem_tpu.solve.lm_core import LMAux, lm_loop, psum_dw
@@ -104,6 +108,129 @@ def _batch_cost_dw(problem, z: BatchDecision, data_batch, p_prior, p_w,
     rp = p_w * (z.p - p_prior)
     s = dw.add(s, dw.pairwise_sum(dw.DW(*dw.two_prod(rp, rp))))
     return dw.mul_single(s, 0.5)
+
+
+def concat_chain_solver():
+    """Chain solve for the concatenated batch chain: the single-kernel SPIKE
+    program on TPU (factor + apply + back-sub in one Mosaic launch), SoA
+    cyclic reduction elsewhere.  Signature: ``solve(D, E, G) -> X`` in the
+    SoA (b, b, K) / (b, r, K) convention."""
+    if jax.default_backend() == "tpu":
+        from collocfem_tpu.ops.spike_pallas import blocktri_solve_spike_fused
+
+        return blocktri_solve_spike_fused
+    from collocfem_tpu.solve.blocktri import blocktri_cr_factor_soa
+
+    return lambda D, E, G: blocktri_cr_factor_soa(D, E)(G)
+
+
+def shared_gn_step_soa(
+    problem,
+    sys,
+    lam,
+    p,
+    p_prior,
+    p_w,
+    *,
+    n_exp: int,
+    chain_solve,
+    dp_axis: str | None = None,
+):
+    """One damped shared-parameter GN step from the CONCATENATED-chain SoA
+    system (ops.assemble.assemble_gn_soa_batched) — config 5's hot path.
+
+    The whole local batch is one (bd, bd, n_exp*K) chain with zero coupling
+    at experiment boundaries, so a single chain solve (SPIKE on TPU)
+    factors every experiment at once and the arrowhead Schur complement IS
+    the shared-parameter reduction.  Damping is dimensionless per
+    EXPERIMENT (lam * max diagonal of experiment e's blocks — identical to
+    the block-major path, and therefore invariant to the dp shard count);
+    ``aux.sds`` accounts for the block-diagonal damping matrix exactly, so
+    the gain-ratio model stays consistent under dp sharding.
+
+    Returns (dV (n_exp, M, nv), dp (nq,), aux: LMAux) with globally-reduced
+    aux scalars.
+    """
+    nq = problem.model.nq
+    bd, _, kt = sys.D.shape
+    k = kt // n_exp
+    nv = problem.nv
+    dtype = sys.D.dtype
+    tiny = jnp.finfo(dtype).tiny
+
+    diag = jnp.stack([sys.D[i, i] for i in range(bd)])       # (bd, Kt)
+    dmax_e = jnp.maximum(
+        jnp.max(diag.reshape(bd, n_exp, k), axis=(0, 2)), tiny
+    )                                                        # (n_exp,)
+    lam_lane = jnp.broadcast_to(
+        (lam * dmax_e)[:, None], (n_exp, k)
+    ).reshape(kt)                                            # (Kt,)
+    eye = jnp.eye(bd, dtype=dtype)[:, :, None]
+    inv = 1.0 / jnp.sqrt(diag + lam_lane)
+    Dsc = (sys.D + lam_lane * eye) * inv[:, None, :] * inv[None, :, :]
+    inv_next = jnp.concatenate([inv[:, 1:], jnp.ones_like(inv[:, :1])], -1)
+    Esc = sys.E * inv[:, None, :] * inv_next[None, :, :]
+    rhs = jnp.concatenate(
+        [(sys.gx * inv)[:, None, :], sys.B * inv[:, None, :]], axis=1
+    )
+    x = chain_solve(Dsc, Esc, rhs)                           # (bd, 1+nq, Kt)
+    # Unscale back to original coordinates: A_d^{-1} = S X~ S for the
+    # state-side-only Jacobi scaling S = diag(inv).
+    a_g = x[:, 0, :] * inv
+    a_b = x[:, 1:, :] * inv[:, None, :]
+
+    s_loc = sys.C - einsum_hp("bqk,brk->qr", sys.B, a_b)
+    r_loc = sys.gp - einsum_hp("bqk,bk->q", sys.B, a_g)
+    gx_max = jnp.max(jnp.abs(sys.gx))
+    s_tot = _psum_maybe(s_loc, dp_axis)
+    r_tot = _psum_maybe(r_loc, dp_axis)
+    gp_sum = _psum_maybe(sys.gp, dp_axis)
+    if dp_axis is not None:
+        gx_max = jax.lax.pmax(gx_max, dp_axis)
+
+    pw2 = p_w**2
+    prior_g = pw2 * (p - p_prior)
+    s_tot = s_tot + jnp.diag(pw2)
+    smax = jnp.maximum(jnp.max(jnp.diag(s_tot)), tiny)
+    s_tot = s_tot + (lam * smax) * jnp.eye(nq, dtype=dtype)
+    gp_tot = gp_sum + prior_g
+    dp = -spd_solve(s_tot, (r_tot + prior_g)[:, None])[:, 0]
+    dx = -(a_g + einsum_hp("bqk,q->bk", a_b, dp))            # (bd, Kt)
+    dV = (
+        dx.reshape(bd, n_exp, k)
+        .transpose(1, 2, 0)
+        .reshape(n_exp, k * (bd // nv), nv)[:, : problem.num_nodes]
+    )
+
+    gdot_dw = dw.dot(sys.gx.ravel(), dx.ravel())
+    dx2_e = jnp.sum(dx.reshape(bd, n_exp, k) ** 2, axis=(0, 2))  # (n_exp,)
+    sn2_loc = jnp.sum(dx2_e)
+    sds_loc = jnp.vdot(dmax_e, dx2_e)
+    if dp_axis is not None:
+        gdot_dw = psum_dw(gdot_dw, dp_axis)
+        sds_loc = jax.lax.psum(sds_loc, dp_axis)
+        sn2_loc = jax.lax.psum(sn2_loc, dp_axis)
+    gdot = dw.to_single(gdot_dw) + jnp.vdot(gp_tot, dp)
+    gnorm = jnp.maximum(gx_max, jnp.max(jnp.abs(gp_tot), initial=0.0))
+    aux = LMAux(
+        gnorm=gnorm,
+        gdot=gdot,
+        sds=sds_loc + smax * jnp.vdot(dp, dp),
+        step_norm=jnp.sqrt(sn2_loc + jnp.vdot(dp, dp)),
+        alpha=jnp.asarray(1.0, dtype),
+    )
+    return dV, dp, aux
+
+
+def _finish_cost_dw(ct_local, p, p_prior, p_w, dp_axis):
+    """Local assembly DW cost -> global batch cost (+ shared prior once)."""
+    if dp_axis is not None:
+        ct_local = psum_dw(ct_local, dp_axis)
+    rp = p_w * (p - p_prior)
+    prior = dw.mul_single(
+        dw.pairwise_sum(dw.DW(*dw.two_prod(rp, rp))), 0.5
+    )
+    return dw.add(ct_local, prior)
 
 
 def shared_gn_step(
@@ -204,7 +331,7 @@ def shared_gn_step(
 
 def make_multi_experiment_solver(
     problem, options: SolverOptions = SolverOptions(), *, dp_axis=None,
-    chain_solver=None,
+    chain_solver=None, layout: str = "auto",
 ):
     """Jitted shared-parameter LM solver over a batch of experiments.
 
@@ -214,11 +341,65 @@ def make_multi_experiment_solver(
     prior is passed explicitly).  With ``dp_axis`` set, call inside
     shard_map with experiments sharded over that axis.
 
-    ``chain_solver=None`` resolves like SolverOptions.method='auto': the
-    single-kernel batched Pallas Thomas solve on TPU, per-chain cyclic
-    reduction elsewhere.
+    ``layout`` selects the assembly/solve pipeline:
+      * ``"soa"`` — the CONCATENATED-chain SoA hot path: one batched SoA
+        assembly (assemble_gn_soa_batched, experiments side by side on the
+        vector lanes) feeding one single-kernel SPIKE chain solve, with the
+        trial cost read off the assembly's own residuals (the speculative
+        with_cost structure of solve.newton).  No block-major (E, K, b, b)
+        arrays — and their 16x tile-padding — exist anywhere.
+      * ``"blocks"`` — the vmapped block-major path (per-experiment
+        assemble_gn + batched Pallas Thomas / per-chain CR), kept for
+        custom ``chain_solver`` closures (e.g. the dp x sp sharded SPIKE).
+      * ``"auto"`` — "blocks" when a ``chain_solver`` is supplied,
+        "soa" otherwise.
+
+    ``chain_solver`` (blocks layout only) resolves like
+    SolverOptions.method='auto' when None: the single-kernel batched Pallas
+    Thomas solve on TPU, per-chain cyclic reduction elsewhere.
     """
     opt = options
+    if layout == "auto":
+        layout = "blocks" if chain_solver is not None else "soa"
+    if layout not in ("soa", "blocks"):
+        raise ValueError(f"unknown layout {layout!r}")
+
+    if layout == "soa":
+        chain_solve = concat_chain_solver()
+        k = problem.mesh.num_elements + 1
+
+        def solve(z0: BatchDecision, data_batch, p_prior, p_w):
+            n_exp = z0.V.shape[0]
+
+            def trial_fn(z, sys, lam):
+                dV, dp, aux = shared_gn_step_soa(
+                    problem, sys, lam, z.p, p_prior, p_w,
+                    n_exp=n_exp, chain_solve=chain_solve, dp_axis=dp_axis,
+                )
+                z_try = BatchDecision(V=z.V + dV, p=z.p + dp)
+                sys_try, ct_loc = assemble_gn_soa_batched(
+                    problem, z_try.V, z_try.p, data_batch, with_cost=True
+                )
+                ct = _finish_cost_dw(ct_loc, z_try.p, p_prior, p_w, dp_axis)
+                return z_try, sys_try, ct, aux
+
+            carry0, c0_loc = assemble_gn_soa_batched(
+                problem, z0.V, z0.p, data_batch, with_cost=True
+            )
+            c0 = _finish_cost_dw(c0_loc, z0.p, p_prior, p_w, dp_axis)
+            st = lm_loop(
+                z0, carry0, c0, trial_fn,
+                maxiter=opt.maxiter, lam0=opt.lam0,
+                gtol=opt.gtol, ftol=opt.ftol, xtol=opt.xtol,
+                lam_min=opt.lam_min, lam_max=opt.lam_max,
+                dtype=z0.V.dtype, verbose=opt.verbose,
+            )
+            return st.z, stats_from_lm(st)
+
+        if dp_axis is None:
+            return jax.jit(solve)
+        return solve
+
     if chain_solver is None and jax.default_backend() == "tpu":
         chain_solver = batched_chain_solver()
 

@@ -297,7 +297,10 @@ def make_sp_gn_solver(
         mesh=dev_mesh,
         in_specs=(P(axis_name), P(), ed_spec, data_spec),
         out_specs=(P(axis_name), P(), SolveStats(*([P()] * 6))),
-        check_vma=False,
+        # vma checking ON: lm_core.replicate/psum_dw re-type every
+        # cross-shard reduction as invariant, so shard_map's type checker
+        # audits the collective plumbing for free (round-3 verdict weak 5).
+        check_vma=True,
     )
 
     sharded_jit = jax.jit(sharded)

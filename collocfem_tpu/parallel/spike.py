@@ -127,7 +127,14 @@ def spike_chain_solver(num_blocks: int, sp_size: int, *, axis_name: str = SP_AXI
         El = jax.lax.dynamic_slice_in_dim(E, j * m, m, axis=0)
         Gl = jax.lax.dynamic_slice_in_dim(G, j * m, m, axis=0)
         Xl = blocktri_solve_spike(Dl, El, Gl, axis_name=axis_name)
-        return jax.lax.all_gather(Xl, axis_name, axis=0, tiled=True)
+        # Disjoint-scatter + psum instead of all_gather: identical bits and
+        # communication volume, but the result is typed INVARIANT over the
+        # sp axis (all_gather outputs are vma-varying and would poison the
+        # LM while_loop carries under check_vma=True — see lm_core.replicate).
+        full = jax.lax.dynamic_update_slice_in_dim(
+            jnp.zeros(G.shape, G.dtype), Xl, j * m, axis=0
+        )
+        return jax.lax.psum(full, axis_name)
 
     return solve
 

@@ -25,6 +25,12 @@ from collocfem_tpu.solve.bounds import (
     make_bounds,
     project_interior,
 )
+from collocfem_tpu.solve.constrained import (
+    ConstrainedOptions,
+    ConstrainedStats,
+    constrained_gauss_newton,
+    make_constrained_solver,
+)
 from collocfem_tpu.solve.blocktri import (
     blocktri_solve_cr,
     blocktri_solve_dense,
@@ -64,4 +70,8 @@ __all__ = [
     "project_interior",
     "make_bounded_solver",
     "bounded_gauss_newton",
+    "ConstrainedOptions",
+    "ConstrainedStats",
+    "make_constrained_solver",
+    "constrained_gauss_newton",
 ]

@@ -30,7 +30,7 @@ def _schur_solve(schur, r):
     return spd_solve(schur, r[:, None])[:, 0]
 
 
-def _equilibrate(sys: BlockTriSystem, lam):
+def _equilibrate(sys: BlockTriSystem, lam, damp_scale=None):
     """Symmetric Jacobi scaling of the damped KKT system.
 
     The collocation Hessian mixes O((2/h D)^2) defect curvature with O(1)
@@ -56,9 +56,19 @@ def _equilibrate(sys: BlockTriSystem, lam):
     # state-path problems) while making lam scale-free and guaranteeing a
     # PD damped system for lam >> sqrt(n_terms)*u ~ 1e-6.
     diag = einsum_hp("kii->ki", sys.D)                      # (K, bd)
-    dmax = jnp.max(diag)
-    if nq:
-        dmax = jnp.maximum(dmax, jnp.max(jnp.diag(sys.C)))
+    if damp_scale is None:
+        dmax = jnp.max(diag)
+        if nq:
+            dmax = jnp.maximum(dmax, jnp.max(jnp.diag(sys.C)))
+    else:
+        # Caller-chosen damping scale.  The barrier interior-point solvers
+        # pass the PRE-barrier (estimation) max diagonal: the barrier's
+        # 1/g^2 curvature blows the system diagonal up by ~1/mu near an
+        # active constraint, and lam * that wall crushes the tangential
+        # directions the iterate must slide along (measured: the
+        # constrained VdP estimate jammed at a non-stationary boundary
+        # point).  Equilibration below still uses the FULL damped diagonal.
+        dmax = damp_scale
     lam_abs = lam * jnp.maximum(dmax, jnp.finfo(sys.D.dtype).tiny)
     d_damped = sys.D + lam_abs * eye_b
     sx = jnp.sqrt(einsum_hp("kii->ki", d_damped))
@@ -88,21 +98,25 @@ def blocktri_matvec(D, E, X):
     return y
 
 
-def _equilibrate_soa(sys, lam):
+def _equilibrate_soa(sys, lam, damp_scale=None):
     """Jacobi scaling of the damped SoA system (no layout shuffles).
 
     Dimensionless isotropic damping: lam multiplies the global max
     diagonal — see :func:`_equilibrate` for why an absolute lam*I fails
-    at this problem's diagonal dynamic range.
+    at this problem's diagonal dynamic range, and for ``damp_scale``'s
+    role in the barrier interior-point solvers.
     """
     bd = sys.block_size
     nq = sys.C.shape[0]
     dtype = sys.D.dtype
     eye = jnp.eye(bd, dtype=dtype)[:, :, None]
     diag = jnp.stack([sys.D[i, i] for i in range(bd)])      # (bd, K)
-    dmax = jnp.max(diag)
-    if nq:
-        dmax = jnp.maximum(dmax, jnp.max(jnp.diag(sys.C)))
+    if damp_scale is None:
+        dmax = jnp.max(diag)
+        if nq:
+            dmax = jnp.maximum(dmax, jnp.max(jnp.diag(sys.C)))
+    else:
+        dmax = damp_scale
     lam_abs = lam * jnp.maximum(dmax, jnp.finfo(dtype).tiny)
     Dd = sys.D + lam_abs * eye
     diag_d = diag + lam_abs
@@ -140,7 +154,7 @@ def _matvec_soa(D, E, X):
 
 
 def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False,
-                  spike: bool = False):
+                  spike: bool = False, damp_scale=None):
     """SoA twin of :func:`solve_kkt` (sys: assemble.BlockTriSystemSoA).
 
     The entire pipeline — equilibration, factorization, multi-RHS apply,
@@ -165,7 +179,7 @@ def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False,
     from collocfem_tpu.solve.blocktri_dw import blocktri_cr_factor_soa_dw
 
     nq = sys.C.shape[0]
-    s, inv, inv_sp = _equilibrate_soa(sys, lam)
+    s, inv, inv_sp = _equilibrate_soa(sys, lam, damp_scale)
     if spike:
         from collocfem_tpu.ops.spike_pallas import blocktri_solve_spike_fused
 
@@ -208,7 +222,7 @@ def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False,
 
 
 def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
-              refine: int = 0):
+              refine: int = 0, damp_scale=None):
     """Solve the damped KKT system [[A, B], [B^T, C]] [dx, dp] = -[gx, gp].
 
     Damping is isotropic Levenberg at a dimensionless scale: the system is
@@ -230,13 +244,13 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
     if method == "dense_full":
         h, g = materialize_dense(sys)
         n = h.shape[0]
-        lam_abs = lam * jnp.maximum(
-            jnp.max(jnp.diag(h)), jnp.finfo(h.dtype).tiny)
+        scale = jnp.max(jnp.diag(h)) if damp_scale is None else damp_scale
+        lam_abs = lam * jnp.maximum(scale, jnp.finfo(h.dtype).tiny)
         d = -jnp.linalg.solve(h + lam_abs * jnp.eye(n, dtype=h.dtype), g)
         dx = d[: k * bd].reshape(k, bd)
         return dx, d[k * bd :]
 
-    s, inv_sx, inv_sp = _equilibrate(sys, lam)
+    s, inv_sx, inv_sp = _equilibrate(sys, lam, damp_scale)
     if method == "cr":
         # Factorize once; every solve (multi-RHS and each refinement pass)
         # reuses the factors (blocktri_cr_factor).

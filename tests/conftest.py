@@ -18,14 +18,28 @@ if _ROOT not in sys.path:
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in _flags:
+    # Tests are COMPILE-bound (a tiny GN while_loop costs ~12 s of XLA:CPU
+    # optimization at the default level, ~8.5 s at level 0, vs ~0.01 s of
+    # runtime); numerics are unaffected — only fusion/scheduling effort.
+    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite's wall is almost entirely XLA
+# compiles of solver while_loops; repeat runs (local dev, CI retries) skip
+# them.  A cold run still pays full compile — the slow-tier split below is
+# what keeps THAT under budget.
+from collocfem_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
 
 import pytest  # noqa: E402
 

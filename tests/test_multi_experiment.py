@@ -79,6 +79,8 @@ def test_multi_experiment_vmap(batch_setup):
 
 
 def test_multi_experiment_sharded_matches_vmap(batch_setup, eight_devices):
+    from collocfem_tpu.solve.newton import SolveStats
+
     prob, z0, data_batch, p_prior, p_w = batch_setup
     z_ref, _ = make_multi_experiment_solver(
         prob, SolverOptions(maxiter=30, gtol=1e-9)
@@ -87,25 +89,6 @@ def test_multi_experiment_sharded_matches_vmap(batch_setup, eight_devices):
     mesh = make_device_mesh(dp=8, sp=1, devices=eight_devices)
     opts = SolverOptions(maxiter=30, gtol=1e-9)
     solve = make_multi_experiment_solver(prob, opts, dp_axis="dp")
-
-    sharded = jax.jit(
-        jax.shard_map(
-            solve,
-            mesh=mesh,
-            in_specs=(
-                BatchDecision(V=P("dp"), p=P()),
-                jax.tree_util.tree_map(lambda _: P("dp"), data_batch),
-                P(), P(),
-            ),
-            out_specs=(
-                BatchDecision(V=P("dp"), p=P()),
-                jax.tree_util.tree_map(lambda _: P(), (0,) * 6)
-                and None,  # placeholder replaced below
-            ),
-        )
-    )
-    # out_specs for SolveStats: all replicated.
-    from collocfem_tpu.solve.newton import SolveStats
 
     sharded = jax.jit(
         jax.shard_map(
@@ -128,4 +111,88 @@ def test_multi_experiment_sharded_matches_vmap(batch_setup, eight_devices):
     )
     np.testing.assert_allclose(
         np.asarray(z_sh.V), np.asarray(z_ref.V), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_assemble_soa_batched_matches_per_experiment(batch_setup):
+    """The concatenated-chain system == per-experiment SoA systems laid side
+    by side (exact block-diagonal structure, zero boundary couplings)."""
+    from collocfem_tpu.ops import doubleword as dw
+    from collocfem_tpu.ops.assemble import (
+        assemble_gn_soa,
+        assemble_gn_soa_batched,
+    )
+    from collocfem_tpu.parallel.batch import _finish_cost_dw, batch_cost
+    from collocfem_tpu.problem import Decision
+
+    prob, z0, data_batch, p_prior, p_w = batch_setup
+    k = prob.mesh.num_elements + 1
+    sys, ct = assemble_gn_soa_batched(
+        prob, z0.V, z0.p, data_batch, with_cost=True
+    )
+    assert sys.D.shape[-1] == N_EXP * k
+    c_sum, gp_sum = 0.0, 0.0
+    for e in range(N_EXP):
+        data_e = jax.tree_util.tree_map(lambda l: l[e], data_batch)
+        se = assemble_gn_soa(prob, Decision(V=z0.V[e], p=z0.p), data_e)
+        sl = slice(e * k, (e + 1) * k)
+        np.testing.assert_allclose(sys.D[:, :, sl], se.D, rtol=1e-13, atol=0)
+        np.testing.assert_allclose(sys.E[:, :, sl], se.E, rtol=1e-13, atol=0)
+        np.testing.assert_allclose(sys.B[:, :, sl], se.B, rtol=1e-13, atol=0)
+        np.testing.assert_allclose(sys.gx[:, sl], se.gx, rtol=1e-13, atol=0)
+        # boundary coupling between experiments is exactly zero
+        assert np.all(np.asarray(sys.E[:, :, e * k + k - 1]) == 0.0)
+        c_sum = c_sum + se.C
+        gp_sum = gp_sum + se.gp
+    np.testing.assert_allclose(sys.C, c_sum, rtol=1e-13)
+    np.testing.assert_allclose(sys.gp, gp_sum, rtol=1e-12, atol=1e-14)
+    # DW cost (+ shared prior) == the standalone batch cost
+    ct_full = _finish_cost_dw(ct, z0.p, p_prior, p_w, None)
+    c_ref = float(batch_cost(prob, z0, data_batch, p_prior, p_w))
+    assert abs(float(dw.to_single(ct_full)) - c_ref) <= 1e-12 * abs(c_ref)
+
+
+def test_step_layouts_agree(batch_setup):
+    """The concatenated-chain SoA step == the vmapped block-major step
+    (same per-experiment damping semantics, same Schur reduction)."""
+    from collocfem_tpu.ops.assemble import assemble_gn_soa_batched
+    from collocfem_tpu.parallel.batch import (
+        concat_chain_solver,
+        shared_gn_step,
+        shared_gn_step_soa,
+    )
+
+    prob, z0, data_batch, p_prior, p_w = batch_setup
+    lam = jnp.asarray(1e-3, prob.dtype)
+    dV_b, dp_b, gnorm_b, aux_b = shared_gn_step(
+        prob, z0, data_batch, lam, p_prior, p_w
+    )
+    sys = assemble_gn_soa_batched(prob, z0.V, z0.p, data_batch)
+    dV_s, dp_s, aux_s = shared_gn_step_soa(
+        prob, sys, lam, z0.p, p_prior, p_w,
+        n_exp=N_EXP, chain_solve=concat_chain_solver(),
+    )
+    np.testing.assert_allclose(np.asarray(dp_s), np.asarray(dp_b),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dV_s), np.asarray(dV_b),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(float(aux_s.gdot), float(aux_b.gdot),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(aux_s.sds), float(aux_b.sds), rtol=1e-9)
+    np.testing.assert_allclose(float(aux_s.step_norm),
+                               float(aux_b.step_norm), rtol=1e-9)
+
+
+def test_solver_layouts_agree(batch_setup):
+    """End-to-end: layout='soa' and layout='blocks' recover the same p."""
+    prob, z0, data_batch, p_prior, p_w = batch_setup
+    opts = SolverOptions(maxiter=25, gtol=1e-9, xtol=1e-10)
+    z_s, st_s = make_multi_experiment_solver(prob, opts, layout="soa")(
+        z0, data_batch, p_prior, p_w
+    )
+    z_b, st_b = make_multi_experiment_solver(prob, opts, layout="blocks")(
+        z0, data_batch, p_prior, p_w
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_s.p), np.asarray(z_b.p), rtol=1e-7, atol=1e-9
     )
