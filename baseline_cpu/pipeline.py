@@ -73,11 +73,13 @@ class BaselineProblem:
     u: np.ndarray        # (N, d+1, nu)
     dscale: np.ndarray   # (N, d, nx)
     meas_w: np.ndarray   # (ny,)
+    p_prior: np.ndarray = None   # (nq,) or None: optional prior mean on p
+    p_w: np.ndarray = None       # (nq,) sqrt prior weights (None = no prior)
 
     @staticmethod
     def build(mesh, meas_times, y_values, u_nodes, defect_weight=100.0,
-              meas_weight=1.0):
-        model = VdPModelNP()
+              meas_weight=1.0, model=None, p_prior=None, p_weight=None):
+        model = VdPModelNP() if model is None else model
         yg, rg, mg, tg = group_measurements(mesh, meas_times, y_values)
         w = mesh.basis.weights[1:]
         h = mesh.widths
@@ -85,10 +87,19 @@ class BaselineProblem:
             defect_weight
         )
         scale = np.broadcast_to(scale, (mesh.num_elements, mesh.degree, model.nx))
+        pw = None
+        if p_weight is not None:
+            pw = np.broadcast_to(
+                np.asarray(p_weight, dtype=np.float64), (model.nq,)
+            )
+            p_prior = np.zeros(model.nq) if p_prior is None else np.asarray(
+                p_prior, dtype=np.float64
+            )
         return BaselineProblem(
             model=model, mesh=mesh, y=yg, mrows=rg, mmask=mg, mtimes=tg,
             u=u_nodes, dscale=scale,
             meas_w=np.full(model.ny, float(meas_weight)),
+            p_prior=p_prior, p_w=pw,
         )
 
     # -- residuals (ordering identical to collocfem_tpu.problem) -------------
@@ -110,9 +121,12 @@ class BaselineProblem:
         hs = m.h(xs, None, p, self.mtimes)
         meas = (hs - self.y) * self.meas_w * self.mmask[..., None]
         n = mesh.num_elements
-        return np.concatenate(
+        out = np.concatenate(
             [defect.reshape(n, -1), meas.reshape(n, -1)], axis=1
         ).ravel()
+        if self.p_w is not None:
+            out = np.concatenate([out, self.p_w * (p - self.p_prior)])
+        return out
 
     def jacobian(self, V, p):
         """Global sparse Jacobian (COO -> CSR) wrt (V.ravel(), p)."""
@@ -168,8 +182,14 @@ class BaselineProblem:
         data = np.concatenate([jx.ravel(), jp.ravel()])
         r_all = np.concatenate([rows_x.ravel(), rows_p.ravel()])
         c_all = np.concatenate([cols_xb.ravel(), cols_p.ravel()])
+        nrows = n * rows_e
+        if self.p_w is not None:
+            data = np.concatenate([data, self.p_w])
+            r_all = np.concatenate([r_all, nrows + np.arange(nq)])
+            c_all = np.concatenate([c_all, m_dof + np.arange(nq)])
+            nrows += nq
         return sp.coo_matrix(
-            (data, (r_all, c_all)), shape=(n * rows_e, m_dof + nq)
+            (data, (r_all, c_all)), shape=(nrows, m_dof + nq)
         ).tocsr()
 
 

@@ -147,50 +147,25 @@ def config5_batched(reps, n_exp, elements=10, layout="auto"):
     import jax
     import jax.numpy as jnp
 
+    from baseline_cpu.configs_baseline import (C5_B_TRUE, C5_MU_TRUE,
+                                               make_config5_data)
     from collocfem_tpu.models import VanDerPol
-    from collocfem_tpu.ops.mesh import uniform_mesh
     from collocfem_tpu.parallel.batch import (BatchDecision,
                                               make_multi_experiment_solver)
     from collocfem_tpu.problem import EstimationProblem
     from collocfem_tpu.solve import SolverOptions
 
-    MU_TRUE, B_TRUE, TF = 1.3, 0.5, 8.0
-    mesh = uniform_mesh(0.0, TF, elements, 4)
-    t_meas = np.linspace(0.05, TF - 0.05, 8 * elements)
+    MU_TRUE, B_TRUE = C5_MU_TRUE, C5_B_TRUE
+    # Shared generator => the CPU counterpart (baseline_cpu.configs_baseline
+    # run_config5) measures the IDENTICAL data and initial guess.
+    mesh, t_meas, y_all, u_nodes_all = make_config5_data(n_exp, elements)
     prob = EstimationProblem.build(VanDerPol(), mesh, t_meas,
                                    defect_weight=300.0)
-    rng = np.random.default_rng(1)
-    x0s = rng.uniform(-2, 2, size=(n_exp, 2))
-    freqs = rng.uniform(0.6, 1.4, size=n_exp)
-    tt = np.linspace(0.0, TF, 2001)
-    dt = tt[1] - tt[0]
-    x = x0s.copy()
-    paths = np.empty((tt.size, n_exp, 2))
-    paths[0] = x
-
-    def f(x, t):
-        u = np.sin(freqs * t)
-        return np.stack(
-            [x[:, 1],
-             MU_TRUE * (1 - x[:, 0] ** 2) * x[:, 1] - x[:, 0] + B_TRUE * u],
-            axis=1)
-
-    for i in range(tt.size - 1):
-        t = tt[i]
-        k1 = f(x, t); k2 = f(x + 0.5 * dt * k1, t + 0.5 * dt)
-        k3 = f(x + 0.5 * dt * k2, t + 0.5 * dt); k4 = f(x + dt * k3, t + dt)
-        x = x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
-        paths[i + 1] = x
-
-    y_all = np.empty((n_exp, t_meas.size, 1))
-    for e in range(n_exp):
-        y_all[e, :, 0] = np.interp(t_meas, tt, paths[:, e, 0])
-    y_all += 0.01 * rng.standard_normal(y_all.shape)
 
     datas, v0s = [], []
     for e in range(n_exp):
-        u_nodes = np.sin(freqs[e] * mesh.elem_times)[..., None]
-        datas.append(prob.pack_data(y_all[e], t_meas, u_nodes=u_nodes,
+        datas.append(prob.pack_data(y_all[e], t_meas,
+                                    u_nodes=u_nodes_all[e],
                                     meas_weight=100.0))
         v0s.append(prob.initial_guess_from_data(t_meas, y_all[e],
                                                 p0=[0, 0]).V)

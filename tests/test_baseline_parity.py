@@ -90,3 +90,54 @@ def test_end_to_end_parity(setup):
     z, stats = solve(z0, data)
     np.testing.assert_allclose(np.asarray(z.p), p_b, atol=1e-7)
     np.testing.assert_allclose(p_b, [MU_TRUE, B_TRUE], atol=5e-4)
+
+
+def test_stacked_multi_experiment_parity():
+    """The block-diagonal-stacked CPU counterpart of config 5
+    (baseline_cpu.configs_baseline) matches the TPU batch cost exactly and
+    its Jacobian (incl. the shared-p arrowhead and prior rows) passes FD."""
+    from baseline_cpu.configs_baseline import (
+        build_stacked_multi_experiment,
+        make_config5_data,
+    )
+    from collocfem_tpu.parallel.batch import BatchDecision, batch_cost
+
+    n_exp, elements = 4, 8
+    mesh, t_meas, y_all, u_all = make_config5_data(n_exp, elements)
+    base = build_stacked_multi_experiment(mesh, t_meas, y_all, u_all)
+    prob = EstimationProblem.build(
+        VanDerPol(), mesh, t_meas, defect_weight=300.0
+    )
+    datas = [
+        prob.pack_data(y_all[e], t_meas, u_nodes=u_all[e], meas_weight=100.0)
+        for e in range(n_exp)
+    ]
+    data_batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas)
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((n_exp, mesh.num_nodes, 2))
+    p = np.array([1.1, 0.4])
+    z = BatchDecision(V=jnp.asarray(V), p=jnp.asarray(p))
+    c_tpu = float(
+        batch_cost(prob, z, data_batch, jnp.zeros(2), jnp.full(2, 1e-3))
+    )
+    r = base.residuals(V.reshape(-1, 2), p)
+    c_cpu = 0.5 * r @ r
+    assert abs(c_cpu - c_tpu) <= 1e-12 * abs(c_tpu)
+
+    J = base.jacobian(V.reshape(-1, 2), p)
+    m_dof = n_exp * mesh.num_nodes * 2
+    zvec = np.concatenate([V.ravel(), p])
+    eps = 1e-6
+    for i in [0, 5, m_dof - 1, m_dof, m_dof + 1]:
+        dz = np.zeros_like(zvec)
+        dz[i] = eps
+        rp = base.residuals(
+            (zvec + dz)[:m_dof].reshape(-1, 2), (zvec + dz)[m_dof:]
+        )
+        rm = base.residuals(
+            (zvec - dz)[:m_dof].reshape(-1, 2), (zvec - dz)[m_dof:]
+        )
+        fd = (rp - rm) / (2 * eps)
+        col = np.asarray(J[:, i].todense()).ravel()
+        err = np.max(np.abs(fd - col)) / max(1.0, np.max(np.abs(col)))
+        assert err < 1e-6, (i, err)
