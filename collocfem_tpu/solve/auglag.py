@@ -373,6 +373,11 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
             gtol=gtol_eff, xtol=1e-15,
             lam_min=opt.lam_min, lam_max=opt.lam_max,
             dtype=problem.dtype,
+            # Nonconvex AL merit: gain-ratio rejection converges to the
+            # nearest stationary point, which early in the homotopy is an
+            # INFEASIBLE local minimizer of ||c||^2 (measured: swing-up
+            # jammed at cviol 0.70); plain-decrease acceptance explores.
+            accept_mode="decrease",
         )
         return st.z, jnp.minimum(st.lam, 1e3), st.it, st.gnorm
 

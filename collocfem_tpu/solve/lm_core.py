@@ -127,8 +127,19 @@ def lm_loop(
     lam_max: float = 1e12,
     dtype,
     verbose: bool = False,
+    accept_mode: str = "gain",
 ) -> LMState:
     """Run the shared LM while_loop; returns the final :class:`LMState`.
+
+    ``accept_mode``: "gain" (default) accepts on DW decrease AND gain ratio
+    > 1e-4 with Nielsen damping — right for (locally convex) least-squares
+    estimation, where a junk f32 step has huge pred and ~zero actual.
+    "decrease" accepts on plain DW decrease with the fixed ×0.2/×5 ladder —
+    right for NONCONVEX merits (the AL/barrier OCP subproblems), where the
+    quadratic model is poor far from a solution and gain-ratio rejection
+    turns the loop into tiny-step gradient descent that converges to the
+    nearest (often infeasible) stationary point; measured: the pendulum
+    swing-up jammed at cviol 0.70 under "gain" vs 2e-10 under "decrease".
 
     Args:
       z0: initial iterate (pytree of arrays).
@@ -151,12 +162,11 @@ def lm_loop(
         a = aux.alpha
         pred = -a * (1.0 - 0.5 * a) * aux.gdot + 0.5 * a * a * st.lam * aux.sds
         rho = actual / jnp.maximum(pred, jnp.finfo(actual.dtype).tiny)
-        accept = (
-            jnp.isfinite(ct.hi)
-            & doubleword.less(ct, c_cur)
-            & (pred > 0.0)
-            & (rho > 1e-4)
-        )
+        decrease = jnp.isfinite(ct.hi) & doubleword.less(ct, c_cur)
+        if accept_mode == "decrease":
+            accept = decrease
+        else:
+            accept = decrease & (pred > 0.0) & (rho > 1e-4)
 
         z_new = jax.tree_util.tree_map(
             lambda t, c: jnp.where(accept, t, c), z_try, st.z
@@ -170,21 +180,32 @@ def lm_loop(
         # factor tracks the gain ratio instead of a fixed up/down ladder —
         # a rigid ×0.2/×5 ladder was measured oscillating period-2 around
         # the viable λ and wasting half the iterations.
-        two_rho = 2.0 * rho - 1.0
-        down = jnp.maximum(
-            jnp.asarray(1.0 / 3.0, st.lam.dtype),
-            1.0 - two_rho * two_rho * two_rho,
-        )
-        lam_new = jnp.where(
-            accept,
-            jnp.maximum(st.lam * down, lam_min),
-            jnp.minimum(st.lam * st.nu, lam_max),
-        )
-        nu_new = jnp.where(
-            accept,
-            jnp.asarray(2.0, st.nu.dtype),
-            jnp.minimum(st.nu * 2.0, 64.0),
-        )
+        if accept_mode == "decrease":
+            # Fixed ladder: the Nielsen factor is a function of the gain
+            # ratio, which is meaningless for a nonconvex merit's poor
+            # quadratic model.
+            lam_new = jnp.where(
+                accept,
+                jnp.maximum(st.lam * 0.2, lam_min),
+                jnp.minimum(st.lam * 5.0, lam_max),
+            )
+            nu_new = st.nu
+        else:
+            two_rho = 2.0 * rho - 1.0
+            down = jnp.maximum(
+                jnp.asarray(1.0 / 3.0, st.lam.dtype),
+                1.0 - two_rho * two_rho * two_rho,
+            )
+            lam_new = jnp.where(
+                accept,
+                jnp.maximum(st.lam * down, lam_min),
+                jnp.minimum(st.lam * st.nu, lam_max),
+            )
+            nu_new = jnp.where(
+                accept,
+                jnp.asarray(2.0, st.nu.dtype),
+                jnp.minimum(st.nu * 2.0, 64.0),
+            )
         rel_drop = actual / jnp.maximum(st.cost, 1e-300)
         done = (
             (aux.gnorm < gtol)
