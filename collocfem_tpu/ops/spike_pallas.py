@@ -47,6 +47,20 @@ from collocfem_tpu.ops.cr_pallas import _chol_rows, _interpret_default
 
 DEFAULT_TILES = 128
 
+# The fused program keeps the WHOLE chain resident in VMEM (inputs +
+# solution + per-tile factor/spike scratch ~ K*(4b^2 + 3br) floats); past
+# this chain length the Mosaic compile fails with a scoped-vmem OOM
+# (measured on v5e: K=16384 compiles and runs, K=100001 needs 61.5 MB
+# against the 16 MB scoped limit).  'auto' method resolution falls back to
+# the per-level CR pipeline above this bound.
+SPIKE_MAX_CHAIN = 16384
+
+
+def spike_fits_vmem(num_blocks: int) -> bool:
+    """True when the fused single-kernel SPIKE solve can compile for a
+    chain of ``num_blocks`` blocks (see SPIKE_MAX_CHAIN)."""
+    return num_blocks <= SPIKE_MAX_CHAIN
+
 
 # ---------------------------------------------------------------------------
 # Grouped-row block algebra.

@@ -113,15 +113,31 @@ def _batch_cost_dw(problem, z: BatchDecision, data_batch, p_prior, p_w,
 def concat_chain_solver():
     """Chain solve for the concatenated batch chain: the single-kernel SPIKE
     program on TPU (factor + apply + back-sub in one Mosaic launch), SoA
-    cyclic reduction elsewhere.  Signature: ``solve(D, E, G) -> X`` in the
-    SoA (b, b, K) / (b, r, K) convention."""
-    if jax.default_backend() == "tpu":
-        from collocfem_tpu.ops.spike_pallas import blocktri_solve_spike_fused
-
-        return blocktri_solve_spike_fused
+    cyclic reduction elsewhere — or on TPU when the concatenated E*K chain
+    is too long for the whole-chain-in-VMEM kernel
+    (ops.spike_pallas.SPIKE_MAX_CHAIN; the chain length is a trace-time
+    shape, so the choice is per-batch-size and costs nothing at runtime).
+    Signature: ``solve(D, E, G) -> X`` in the SoA (b, b, K) / (b, r, K)
+    convention."""
     from collocfem_tpu.solve.blocktri import blocktri_cr_factor_soa
 
-    return lambda D, E, G: blocktri_cr_factor_soa(D, E)(G)
+    def cr_solve(D, E, G):
+        return blocktri_cr_factor_soa(D, E)(G)
+
+    if jax.default_backend() != "tpu":
+        return cr_solve
+
+    from collocfem_tpu.ops.spike_pallas import (
+        blocktri_solve_spike_fused,
+        spike_fits_vmem,
+    )
+
+    def solve(D, E, G):
+        if spike_fits_vmem(D.shape[-1]):
+            return blocktri_solve_spike_fused(D, E, G)
+        return cr_solve(D, E, G)
+
+    return solve
 
 
 def shared_gn_step_soa(

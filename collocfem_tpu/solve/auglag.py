@@ -42,7 +42,8 @@ from collocfem_tpu.ops.assemble import (
     soa_from_blocks,
 )
 from collocfem_tpu.problem import Decision
-from collocfem_tpu.solve.kkt import solve_kkt, solve_kkt_soa
+from collocfem_tpu.solve.kkt import (resolve_auto_method,
+                                     solve_kkt, solve_kkt_soa)
 from collocfem_tpu.solve.lm_core import LMAux, fused_quadforms, lm_loop
 
 OUTER_HISTORY_COLS = (
@@ -124,8 +125,9 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
     """
     opt = options
     if opt.method == "auto":
-        method = "spike" if jax.default_backend() == "tpu" else "cr"
-        opt = dataclasses.replace(opt, method=method)
+        opt = dataclasses.replace(
+            opt, method=resolve_auto_method(problem.mesh.num_blocks)
+        )
     soa = opt.method in ("spike", "cr_dw")
     model, mesh = problem.model, problem.mesh
     n, d = mesh.num_elements, mesh.degree

@@ -45,7 +45,8 @@ from collocfem_tpu.ops.assemble import (
 )
 from collocfem_tpu.problem import Decision
 from collocfem_tpu.solve.auglag import _node_block_scatter
-from collocfem_tpu.solve.kkt import solve_kkt, solve_kkt_soa
+from collocfem_tpu.solve.kkt import (resolve_auto_method,
+                                     solve_kkt, solve_kkt_soa)
 from collocfem_tpu.solve.lm_core import LMAux, fused_quadforms, lm_loop
 
 BOUNDS_HISTORY_COLS = ("cost", "grad_norm", "mu", "inner_iters")
@@ -152,8 +153,9 @@ def make_bounded_solver(
     """
     opt = options
     if opt.method == "auto":
-        method = "spike" if jax.default_backend() == "tpu" else "cr"
-        opt = dataclasses.replace(opt, method=method)
+        opt = dataclasses.replace(
+            opt, method=resolve_auto_method(problem.mesh.num_blocks)
+        )
     soa = opt.method in ("spike", "cr_dw")
     dtype = problem.dtype
     nx = problem.model.nx

@@ -50,7 +50,8 @@ from collocfem_tpu.ops.assemble import (
 from collocfem_tpu.ops.einsum_hp import einsum_hp
 from collocfem_tpu.problem import Decision
 from collocfem_tpu.solve.auglag import _barrier_value, _node_block_scatter
-from collocfem_tpu.solve.kkt import solve_kkt, solve_kkt_soa
+from collocfem_tpu.solve.kkt import (resolve_auto_method,
+                                     solve_kkt, solve_kkt_soa)
 from collocfem_tpu.solve.lm_core import LMAux, fused_quadforms, lm_loop
 
 CONSTRAINED_HISTORY_COLS = ("cost", "grad_norm", "mu", "inner_iters")
@@ -132,8 +133,9 @@ def make_constrained_solver(
     """
     opt = options
     if opt.method == "auto":
-        method = "spike" if jax.default_backend() == "tpu" else "cr"
-        opt = dataclasses.replace(opt, method=method)
+        opt = dataclasses.replace(
+            opt, method=resolve_auto_method(problem.mesh.num_blocks)
+        )
     soa = opt.method in ("spike", "cr_dw")
     model, mesh = problem.model, problem.mesh
     d = mesh.degree

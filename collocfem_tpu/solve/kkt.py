@@ -18,6 +18,20 @@ from collocfem_tpu.ops.smallblocks import spd_solve
 from collocfem_tpu.solve.blocktri import SOLVERS
 
 
+def resolve_auto_method(num_blocks: int) -> str:
+    """'auto' method policy, shared by every solver family: the fused
+    single-kernel SPIKE solve on TPU while the chain fits in VMEM
+    (ops.spike_pallas.SPIKE_MAX_CHAIN), the per-level Pallas/XLA cyclic
+    reduction otherwise (longer chains, or any non-TPU backend)."""
+    import jax
+
+    from collocfem_tpu.ops.spike_pallas import spike_fits_vmem
+
+    if jax.default_backend() == "tpu" and spike_fits_vmem(num_blocks):
+        return "spike"
+    return "cr"
+
+
 def _schur_solve(schur, r):
     """Tiny dense SPD solve of the (nq, nq) parameter Schur system.
 

@@ -39,7 +39,8 @@ from collocfem_tpu.ops.assemble import (
     soa_from_blocks,
 )
 from collocfem_tpu.problem import Decision
-from collocfem_tpu.solve.kkt import solve_kkt, solve_kkt_soa
+from collocfem_tpu.solve.kkt import (resolve_auto_method,
+                                     solve_kkt, solve_kkt_soa)
 from collocfem_tpu.solve.lm_core import (
     HISTORY_COLS,
     LMAux,
@@ -114,8 +115,9 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
     """
     opt = options
     if opt.method == "auto":
-        method = "spike" if jax.default_backend() == "tpu" else "cr"
-        opt = dataclasses.replace(opt, method=method)
+        opt = dataclasses.replace(
+            opt, method=resolve_auto_method(problem.mesh.num_blocks)
+        )
     nv = problem.nv
     num_nodes = problem.num_nodes
     soa = opt.method in ("cr", "cr_dw", "spike")

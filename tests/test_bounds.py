@@ -38,7 +38,10 @@ def vdp_setup():
 
     sol = solve_ivp(rhs, (0.0, tf), (2.0, 0.0), rtol=1e-11, atol=1e-12,
                     dense_output=True)
-    mesh = uniform_mesh(0.0, tf, num_elements=30, degree=4)
+    # Degree 2 (2x elements): bound-enforcement claims are relative to
+    # the unconstrained solution on the SAME mesh; degree-4 solver-loop
+    # compiles cost ~3x on XLA:CPU (the fast tier is compile-bound).
+    mesh = uniform_mesh(0.0, tf, num_elements=60, degree=2)
     t_meas = np.linspace(0.025, tf - 0.025, 160)
     y = sol.sol(t_meas)[0][:, None]
     prob = EstimationProblem.build(VanDerPol(), mesh, t_meas, defect_weight=30.0)
@@ -59,8 +62,10 @@ def test_inactive_bounds_match_unconstrained(vdp_setup):
     )
     assert np.allclose(np.asarray(z.p), np.asarray(z_ref.p), atol=1e-6), (
         z.p, z_ref.p)
-    assert abs(float(z.p[0]) - MU_TRUE) < 1e-4
-    assert abs(float(z.p[1]) - B_TRUE) < 1e-4
+    # Degree-2 discretization bias ~4e-3 (truth-accuracy at degree 4 is
+    # test_gauss_newton's job; THIS test's claim is the 1e-6 agreement).
+    assert abs(float(z.p[0]) - MU_TRUE) < 1e-2
+    assert abs(float(z.p[1]) - B_TRUE) < 2e-2
 
 
 def test_active_parameter_bound(vdp_setup):

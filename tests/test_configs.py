@@ -2,7 +2,10 @@
 covered by test_gauss_newton, test_ocp, test_multi_experiment): small-size
 versions of the Duffing joint MAP estimation and aircraft output-error ID
 with known ground truth (SURVEY.md §4 "integration tests with known
-answers")."""
+answers").  Degree 2 with 2x the elements: identical per-config machinery
+at a third of the solver-loop compile (the fast tier is compile-bound on
+XLA:CPU; degree-4 fidelity is anchored by tests/test_gauss_newton.py and
+the full-size examples/)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -42,7 +45,7 @@ def test_duffing_joint_map_estimation():
     y = np.interp(t_meas, ts, x[:, 0])[:, None]
     y += meas_sig * rng.standard_normal(y.shape)
 
-    mesh = uniform_mesh(0.0, tf, 100, 4)
+    mesh = uniform_mesh(0.0, tf, 200, 2)
     model = Duffing(gamma=gamma, omega=omega)
     prob = EstimationProblem.build(
         model, mesh, t_meas, defect_weight=1.0 / proc_sig
@@ -92,7 +95,7 @@ def test_aircraft_output_error():
     rng = np.random.default_rng(3)
     y += noise * rng.standard_normal(y.shape)
 
-    mesh = uniform_mesh(0.0, tf, 120, 4)
+    mesh = uniform_mesh(0.0, tf, 240, 2)
     prob = EstimationProblem.build(model, mesh, t_meas, defect_weight=1e4)
     u_nodes = doublet(mesh.elem_times)[..., None]
     data = prob.pack_data(y, t_meas, u_nodes=u_nodes, meas_weight=1.0 / noise)

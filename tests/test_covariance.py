@@ -1,6 +1,11 @@
 """Parameter covariance: structured Schur computation vs dense inverse, and
 statistical calibration on repeated noisy estimations (SURVEY.md §3.4
-output-error standard errors)."""
+output-error standard errors).
+
+Degree 2 + ONE shared solver build: every check here is either parity vs a
+dense oracle of the SAME system or statistical calibration — neither needs
+degree-4 discretization accuracy, and XLA:CPU solver-loop compiles cost
+~3x more at degree 4 (the fast tier is compile-bound)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +35,7 @@ NOISE = 0.05
 @pytest.fixture(scope="module")
 def setup():
     model = VanDerPol()
-    mesh = uniform_mesh(0.0, TF, 20, 4)
+    mesh = uniform_mesh(0.0, TF, 24, 2)
     t_meas = np.linspace(0.05, TF - 0.05, 80)
     ts = np.linspace(0.0, TF, 8001)
     xs = rk4_trajectory(
@@ -44,13 +49,19 @@ def setup():
     return prob, t_meas, y_clean, u_nodes
 
 
-def test_matches_dense_inverse(setup):
+@pytest.fixture(scope="module")
+def solver(setup):
+    prob = setup[0]
+    return make_gn_solver(prob, SolverOptions(maxiter=40, xtol=1e-12))
+
+
+def test_matches_dense_inverse(setup, solver):
     prob, t_meas, y_clean, u_nodes = setup
     rng = np.random.default_rng(0)
     y = y_clean + NOISE * rng.standard_normal(y_clean.shape)
     data = prob.pack_data(y, t_meas, u_nodes=u_nodes, meas_weight=1 / NOISE)
     z0 = prob.initial_guess_from_data(t_meas, y, p0=[0.8, 0.8])
-    z, _ = make_gn_solver(prob, SolverOptions(maxiter=40, xtol=1e-12))(z0, data)
+    z, _ = solver(z0, data)
 
     cov = np.asarray(parameter_covariance(prob, z, data))
     # Dense oracle: invert the full GN matrix, take the p-block.
@@ -94,13 +105,13 @@ def test_takahashi_selected_inverse_matches_dense():
                 rtol=1e-9, atol=1e-12)
 
 
-def test_state_covariance_matches_dense_inverse(setup):
+def test_state_covariance_matches_dense_inverse(setup, solver):
     prob, t_meas, y_clean, u_nodes = setup
     rng = np.random.default_rng(7)
     y = y_clean + NOISE * rng.standard_normal(y_clean.shape)
     data = prob.pack_data(y, t_meas, u_nodes=u_nodes, meas_weight=1 / NOISE)
     z0 = prob.initial_guess_from_data(t_meas, y, p0=[0.8, 0.8])
-    z, _ = make_gn_solver(prob, SolverOptions(maxiter=40, xtol=1e-12))(z0, data)
+    z, _ = solver(z0, data)
 
     sys = assemble_gn(prob, z, data)
     H, _ = materialize_dense(sys)
@@ -162,7 +173,7 @@ def test_state_covariance_matches_dense_inverse(setup):
                                        rtol=1e-6)
 
 
-def test_state_std_calibrated(setup):
+def test_state_std_calibrated(setup, solver):
     # The reported pointwise band must cover the actual node errors at a
     # plausible rate: z-scores (x_hat - x_true)/std should be ~N(0,1) —
     # check the RMS z-score is O(1) (loose MC bar, single realization).
@@ -171,7 +182,7 @@ def test_state_std_calibrated(setup):
     y = y_clean + NOISE * rng.standard_normal(y_clean.shape)
     data = prob.pack_data(y, t_meas, u_nodes=u_nodes, meas_weight=1 / NOISE)
     z0 = prob.initial_guess_from_data(t_meas, y, p0=[0.8, 0.8])
-    z, _ = make_gn_solver(prob, SolverOptions(maxiter=40, xtol=1e-12))(z0, data)
+    z, _ = solver(z0, data)
 
     model = VanDerPol()
     ts = np.linspace(0.0, TF, 8001)
@@ -190,13 +201,13 @@ def test_state_std_calibrated(setup):
     assert 0.2 < rms < 3.0, rms
 
 
-def test_std_errors_calibrated(setup):
+def test_std_errors_calibrated(setup, solver):
     # Repeat the estimation over independent noise draws: the empirical
     # spread of the estimates must match the reported standard errors
     # within Monte-Carlo tolerance.
     prob, t_meas, y_clean, u_nodes = setup
     rng = np.random.default_rng(1)
-    solve = make_gn_solver(prob, SolverOptions(maxiter=40, xtol=1e-12))
+    solve = solver
     estimates, stds = [], None
     for trial in range(12):
         y = y_clean + NOISE * rng.standard_normal(y_clean.shape)

@@ -1,7 +1,12 @@
 """Shared-parameter multi-experiment estimation (BASELINE.json config 5):
 batched VdP experiments with one shared parameter vector, solved by the
 parameter-Schur DP algorithm — single shard (vmap) and sharded over the
-"dp" axis of the virtual 8-device mesh."""
+"dp" axis of the virtual 8-device mesh.
+
+Fast tier runs at degree 2 with ONE shared reference solve (an XLA:CPU
+solver-loop compile costs ~3x more at degree 4 — measured 34 s vs 11 s —
+and the checks here are batch/shard/layout AGREEMENT, not discretization
+fidelity, which tests/test_gauss_newton.py anchors at degree 4)."""
 
 import functools
 
@@ -24,6 +29,7 @@ from collocfem_tpu.solve import SolverOptions
 
 MU_TRUE, B_TRUE = 1.3, 0.5
 N_EXP = 8
+OPTS = SolverOptions(maxiter=40, gtol=1e-9, xtol=1e-10)
 
 
 def _simulate(x0, freq, tf):
@@ -41,7 +47,7 @@ def _simulate(x0, freq, tf):
 @pytest.fixture(scope="module")
 def batch_setup():
     tf = 8.0
-    mesh = uniform_mesh(0.0, tf, num_elements=24, degree=4)
+    mesh = uniform_mesh(0.0, tf, num_elements=48, degree=2)
     t_meas = np.linspace(0.05, tf - 0.05, 80)
     model = VanDerPol()
     prob = EstimationProblem.build(model, mesh, t_meas, defect_weight=300.0)
@@ -66,29 +72,35 @@ def batch_setup():
     return prob, z0, data_batch, p_prior, p_w
 
 
-def test_multi_experiment_vmap(batch_setup):
+@pytest.fixture(scope="module")
+def soa_solution(batch_setup):
+    """ONE reference solve (the default concatenated-chain SoA pipeline),
+    shared by the convergence, sharded-parity, and layout-parity tests —
+    every extra solver build is a separate solver-loop compile."""
     prob, z0, data_batch, p_prior, p_w = batch_setup
-    solve = make_multi_experiment_solver(
-        prob, SolverOptions(maxiter=60, gtol=1e-9, xtol=1e-10)
-    )
-    z, stats = solve(z0, data_batch, p_prior, p_w)
+    solve = make_multi_experiment_solver(prob, OPTS)
+    return solve(z0, data_batch, p_prior, p_w)
+
+
+def test_multi_experiment_vmap(batch_setup, soa_solution):
+    z, stats = soa_solution
     p = np.asarray(z.p)
     assert bool(stats.converged), np.asarray(stats.history)[:, :2]
-    assert abs(p[0] - MU_TRUE) < 1e-3, p
-    assert abs(p[1] - B_TRUE) < 1e-3, p
+    # Degree-2 discretization bias dominates (see module docstring): the
+    # batch estimate must still land on the truth to truncation level.
+    assert abs(p[0] - MU_TRUE) < 2e-2, p
+    assert abs(p[1] - B_TRUE) < 2e-2, p
 
 
-def test_multi_experiment_sharded_matches_vmap(batch_setup, eight_devices):
+def test_multi_experiment_sharded_matches_vmap(batch_setup, soa_solution,
+                                               eight_devices):
     from collocfem_tpu.solve.newton import SolveStats
 
     prob, z0, data_batch, p_prior, p_w = batch_setup
-    z_ref, _ = make_multi_experiment_solver(
-        prob, SolverOptions(maxiter=30, gtol=1e-9)
-    )(z0, data_batch, p_prior, p_w)
+    z_ref, _ = soa_solution
 
     mesh = make_device_mesh(dp=8, sp=1, devices=eight_devices)
-    opts = SolverOptions(maxiter=30, gtol=1e-9)
-    solve = make_multi_experiment_solver(prob, opts, dp_axis="dp")
+    solve = make_multi_experiment_solver(prob, OPTS, dp_axis="dp")
 
     sharded = jax.jit(
         jax.shard_map(
@@ -183,14 +195,11 @@ def test_step_layouts_agree(batch_setup):
                                float(aux_b.step_norm), rtol=1e-9)
 
 
-def test_solver_layouts_agree(batch_setup):
-    """End-to-end: layout='soa' and layout='blocks' recover the same p."""
+def test_solver_layouts_agree(batch_setup, soa_solution):
+    """End-to-end: layout='blocks' recovers the same p as the SoA solve."""
     prob, z0, data_batch, p_prior, p_w = batch_setup
-    opts = SolverOptions(maxiter=25, gtol=1e-9, xtol=1e-10)
-    z_s, st_s = make_multi_experiment_solver(prob, opts, layout="soa")(
-        z0, data_batch, p_prior, p_w
-    )
-    z_b, st_b = make_multi_experiment_solver(prob, opts, layout="blocks")(
+    z_s, _ = soa_solution
+    z_b, st_b = make_multi_experiment_solver(prob, OPTS, layout="blocks")(
         z0, data_batch, p_prior, p_w
     )
     np.testing.assert_allclose(

@@ -156,6 +156,7 @@ def split_actuator_solution():
     return model, mesh, prob, z, stats
 
 
+@pytest.mark.slow
 def test_equality_path_constraint_matches_analytic(split_actuator_solution):
     model, mesh, prob, z, stats = split_actuator_solution
     assert float(stats.cviol) < 1e-8  # includes max |u1 - 2 u2| over nodes
@@ -169,6 +170,7 @@ def test_equality_path_constraint_matches_analytic(split_actuator_solution):
     np.testing.assert_allclose(vals[:, 2] + vals[:, 3], 6 - 12 * tt, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_equality_path_kkt_stationarity(split_actuator_solution):
     # External first-order check including the per-node equality-path
     # multipliers: grad_V [ J + lam_def.c_def + lam_b.c_b + lam_eq.g_eq ] ~ 0.

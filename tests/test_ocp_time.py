@@ -107,6 +107,7 @@ def test_time_penalized_energy_matches_analytic():
     np.testing.assert_allclose(x_last, [d, 0.0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_minimum_time_bang_bang():
     d = 1.0
     prob, ftm = free_time_ocp(
