@@ -59,11 +59,18 @@ class ALBarrierOptions:
     inner_maxiter: int = 40
     gtol: float = 1e-8        # inner gradient tolerance (scaled by sqrt(mu))
     ctol: float = 1e-9        # equality violation target (reporting)
-    rho0: float = 10.0
+    # rho0/mu0 shape the FIRST subproblem's landscape, which decides the
+    # basin on nonconvex problems: rho0=10/mu0=1 let the swing-up fall
+    # into an infeasible local minimizer of ||c||^2 (cviol 0.70) in f32 —
+    # and only escaped it in f64 by luck of the inner iteration cap.
+    # Measured on the pendulum (v5e f32 AND cpu f64): rho0=100 + mu0=0.1
+    # reaches the global basin in both precisions (obj 2.5875,
+    # cviol 3e-5 / 7e-11); rho0=1000 over-pulls feasibility and jams again.
+    rho0: float = 100.0
     rho_up: float = 10.0
     rho_max: float = 1e8
     cviol_ratio: float = 0.25  # required violation decrease before rho_up
-    mu0: float = 1.0
+    mu0: float = 0.1
     mu_factor: float = 0.2
     mu_min: float = 1e-9
     lam0: float = 1e-3

@@ -40,7 +40,11 @@ def _f64_reference(D, E, G):
     return np.asarray(blocktri_solve_scan(to64(D), to64(E), to64(G)))
 
 
-@pytest.mark.parametrize("k,b,r", [(64, 4, 1), (192, 3, 2), (1024, 2, 1)])
+@pytest.mark.parametrize("k,b,r", [
+    (64, 4, 1),
+    (192, 3, 2),
+    pytest.param(1024, 2, 1, marks=pytest.mark.slow),  # ~35 s compile of the long unrolled DW CR
+])
 def test_dw_cr_matches_f64(k, b, r):
     D, E = _poisson_chain(k, b)
     G = jnp.asarray(RNG.standard_normal((k, b, r)).astype(np.float32))
@@ -98,6 +102,8 @@ def test_non_pow2_and_tiny_chains():
         assert err < 1e-5, (k, err)
 
 
+@pytest.mark.slow  # 85 s: a full second GN solver-loop compile; DW unit
+# coverage above is the fast anchor
 def test_gn_end_to_end_with_cr_dw():
     """Full Gauss-Newton estimation with the DW KKT factorization."""
     import jax.numpy as jnp

@@ -22,7 +22,10 @@ def _random_system(rng, n_exp, k, b, r, dtype=np.float64):
     return D, E, G
 
 
-@pytest.mark.parametrize("shape", [(4, 5, 3, 2), (3, 16, 8, 3)])
+@pytest.mark.parametrize("shape", [
+    (4, 5, 3, 2),
+    pytest.param((3, 16, 8, 3), marks=pytest.mark.slow),  # 35 s interpret-mode wall
+])
 def test_pallas_thomas_matches_cr(shape):
     rng = np.random.default_rng(0)
     D, E, G = _random_system(rng, *shape)

@@ -9,6 +9,7 @@ once against an independently-coded classical algorithm (numpy only).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.linalg import expm
 
 from collocfem_tpu.models.lti import LinearSystem
@@ -82,6 +83,9 @@ def _simulate_and_smooth(rng):
     return t_meas, y, np.asarray(xs)
 
 
+@pytest.mark.slow  # the full-defect-rule test below asserts the
+# STRONGER parity bound with one solver build; this one documents the
+# interior rule's quadrature bias
 def test_map_path_matches_rts_smoother():
     rng = np.random.default_rng(7)
     t_meas, y, x_smooth = _simulate_and_smooth(rng)

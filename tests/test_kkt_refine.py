@@ -10,7 +10,7 @@ from collocfem_tpu.ops.assemble import BlockTriSystem
 from collocfem_tpu.solve.kkt import blocktri_matvec, solve_kkt
 
 
-def _ill_conditioned_system(rng, k=64, bd=6, nq=2, spread=1e6):
+def _ill_conditioned_system(rng, k=32, bd=4, nq=2, spread=1e6):
     """SPD block-tri + arrowhead with wildly mixed row scales."""
     scales = spread ** rng.uniform(0, 1, size=(k, bd))
     A = rng.standard_normal((k, bd, bd))

@@ -9,6 +9,7 @@ the simulated truth.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from collocfem_tpu.kalman.disc import van_loan
 from collocfem_tpu.kalman.filtering import kalman_filter
@@ -72,6 +73,8 @@ def test_mhe_matches_kalman_filter_linear():
     np.testing.assert_allclose(cov, kf_covs[T - 1], atol=2e-6)
 
 
+@pytest.mark.slow  # second MHE solver build; the KF-parity test above
+# is the fast anchor
 def test_mhe_tracks_nonlinear_vdp():
     from collocfem_tpu.utils.simulate import rk4_trajectory
 

@@ -9,6 +9,7 @@ large-residual estimation problem at least as fast as Gauss-Newton.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from test_assemble import small_problem
 
@@ -103,6 +104,8 @@ def _noisy_vdp_problem(sigma=0.3, seed=11):
     return prob, z0, data
 
 
+@pytest.mark.slow  # three extra solver-loop compiles; the
+# system-level Newton-vs-autodiff-Hessian parity above is the fast anchor
 def test_newton_quadratic_local_convergence():
     """Near a large-residual optimum, GN converges only linearly (its rate
     floor is the curvature-to-Hessian ratio it drops), while exact Newton

@@ -34,6 +34,8 @@ class DoubleIntegrator(Model):
         return u
 
 
+@pytest.mark.slow  # its own ~100 s OCP solver-loop compile; the pendulum
+# fixture below is the fast-tier OCP anchor (inequalities + KKT checks)
 def test_double_integrator_matches_analytic():
     # x(0)=(0,0) -> x(1)=(1,0), min 0.5 int u^2: u*(t) = 6 - 12 t, J* = 6.
     model = DoubleIntegrator()

@@ -41,6 +41,8 @@ def test_spike_two_blocks_per_shard(eight_devices):
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow  # 8-device shard_map compile; dp x sp interaction is
+# also exercised by __graft_entry__.dryrun_multichip at K=512
 def test_spike_on_2d_mesh_with_dp(eight_devices):
     """SPIKE over sp while dp batches independent systems via vmap outside."""
     mesh = make_device_mesh(dp=2, sp=4, devices=eight_devices)
