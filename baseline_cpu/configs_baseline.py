@@ -97,7 +97,11 @@ C5_MU_TRUE, C5_B_TRUE, C5_TF = 1.3, 0.5, 8.0
 
 def make_config5_data(n_exp, elements=10, seed=1):
     """Simulated multi-experiment VdP data: (mesh, t_meas, y_all (E,S,1),
-    u_nodes_all (E,N,d+1,1)).  Pure numpy — no jax import."""
+    u_nodes_all (E,N,d+1,1)).  The simulation itself is plain numpy, but
+    the mesh comes from collocfem_tpu.ops.mesh (imported at module top),
+    so this module — like the rest of baseline_cpu — does require a
+    working jax install; sharing the mesh object is what guarantees CPU
+    and TPU measure bit-identical problems."""
     mesh = uniform_mesh(0.0, C5_TF, elements, 4)
     t_meas = np.linspace(0.05, C5_TF - 0.05, 8 * elements)
     rng = np.random.default_rng(seed)

@@ -49,17 +49,28 @@ DEFAULT_TILES = 128
 
 # The fused program keeps the WHOLE chain resident in VMEM (inputs +
 # solution + per-tile factor/spike scratch ~ K*(4b^2 + 3br) floats); past
-# this chain length the Mosaic compile fails with a scoped-vmem OOM
-# (measured on v5e: K=16384 compiles and runs, K=100001 needs 61.5 MB
-# against the 16 MB scoped limit).  'auto' method resolution falls back to
-# the per-level CR pipeline above this bound.
+# that footprint the Mosaic compile fails with a scoped-vmem OOM.  The
+# budget is calibrated at the measured-good point (v5e: K=16384 at b=8,
+# r=3 compiles and runs; K=100001 at the same shape needs 61.5 MB against
+# the 16 MB scoped limit), expressed in model bytes so the gate scales
+# with BLOCK SIZE and RHS COUNT, not just chain length — a b=16 problem
+# has 4x the per-block footprint and caps near K=4500, which a pure
+# K-threshold would wrongly admit.  'auto' method resolution falls back
+# to the per-level CR pipeline above the budget.
+SPIKE_VMEM_BUDGET = 16384 * (4 * 8 * 8 + 3 * 8 * 3) * 4  # model bytes
+# Back-compat alias: the max chain length at the headline shape (b=8, r=3).
 SPIKE_MAX_CHAIN = 16384
 
 
-def spike_fits_vmem(num_blocks: int) -> bool:
+def spike_fits_vmem(num_blocks: int, block_size: int = 8,
+                    nrhs: int = 3, itemsize: int = 4) -> bool:
     """True when the fused single-kernel SPIKE solve can compile for a
-    chain of ``num_blocks`` blocks (see SPIKE_MAX_CHAIN)."""
-    return num_blocks <= SPIKE_MAX_CHAIN
+    chain of ``num_blocks`` blocks of ``block_size`` with ``nrhs``
+    right-hand sides (estimation: 1 + nq).  Footprint model:
+    K*(4b^2 + 3br)*itemsize vs the calibrated SPIKE_VMEM_BUDGET."""
+    b, r = block_size, nrhs
+    est = num_blocks * (4 * b * b + 3 * b * r) * itemsize
+    return est <= SPIKE_VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------

@@ -133,7 +133,7 @@ def concat_chain_solver():
     )
 
     def solve(D, E, G):
-        if spike_fits_vmem(D.shape[-1]):
+        if spike_fits_vmem(D.shape[-1], D.shape[0], G.shape[1]):
             return blocktri_solve_spike_fused(D, E, G)
         return cr_solve(D, E, G)
 

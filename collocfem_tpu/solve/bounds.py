@@ -154,7 +154,11 @@ def make_bounded_solver(
     opt = options
     if opt.method == "auto":
         opt = dataclasses.replace(
-            opt, method=resolve_auto_method(problem.mesh.num_blocks)
+            opt, method=resolve_auto_method(
+                problem.mesh.num_blocks,
+                problem.mesh.degree * problem.nv,
+                1 + problem.model.nq,
+            )
         )
     soa = opt.method in ("spike", "cr_dw")
     dtype = problem.dtype

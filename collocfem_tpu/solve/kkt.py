@@ -18,16 +18,21 @@ from collocfem_tpu.ops.smallblocks import spd_solve
 from collocfem_tpu.solve.blocktri import SOLVERS
 
 
-def resolve_auto_method(num_blocks: int) -> str:
+def resolve_auto_method(num_blocks: int, block_size: int = 8,
+                        nrhs: int = 3) -> str:
     """'auto' method policy, shared by every solver family: the fused
     single-kernel SPIKE solve on TPU while the chain fits in VMEM
-    (ops.spike_pallas.SPIKE_MAX_CHAIN), the per-level Pallas/XLA cyclic
-    reduction otherwise (longer chains, or any non-TPU backend)."""
+    (ops.spike_pallas.spike_fits_vmem — a byte model over
+    (num_blocks, block_size, nrhs), not just chain length), the per-level
+    Pallas/XLA cyclic reduction otherwise (longer chains, bigger blocks,
+    or any non-TPU backend)."""
     import jax
 
     from collocfem_tpu.ops.spike_pallas import spike_fits_vmem
 
-    if jax.default_backend() == "tpu" and spike_fits_vmem(num_blocks):
+    if jax.default_backend() == "tpu" and spike_fits_vmem(
+        num_blocks, block_size, nrhs
+    ):
         return "spike"
     return "cr"
 

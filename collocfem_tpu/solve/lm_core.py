@@ -154,6 +154,10 @@ def lm_loop(
       lam0 / gtol: may be traced values (e.g. interior-point inner loops
         warm-start λ and loosen gtol with the barrier parameter μ).
     """
+    if accept_mode not in ("gain", "decrease"):
+        raise ValueError(
+            f"accept_mode must be 'gain' or 'decrease', got {accept_mode!r}"
+        )
 
     def body(st: LMState) -> LMState:
         z_try, carry_try, ct, aux = trial_fn(st.z, st.carry, st.lam)

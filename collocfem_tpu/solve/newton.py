@@ -116,7 +116,11 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
     opt = options
     if opt.method == "auto":
         opt = dataclasses.replace(
-            opt, method=resolve_auto_method(problem.mesh.num_blocks)
+            opt, method=resolve_auto_method(
+                problem.mesh.num_blocks,
+                problem.mesh.degree * problem.nv,
+                1 + problem.model.nq,
+            )
         )
     nv = problem.nv
     num_nodes = problem.num_nodes
