@@ -7,6 +7,12 @@ double-word cost evaluation — to locate remaining optimization headroom.
 Methodology as in blocktri_bench.py: each timed unit is a jitted
 ``fori_loop`` of ``inner`` data-dependent repetitions bounded by one
 scalar fetch (naive per-call timing lies through the tunneled device).
+``inner`` must be LARGE (default 200): the per-call dispatch/RPC overhead
+through the tunnel is ~50 ms — at inner=20 every "phase" measures
+~2.5 ms of pure overhead regardless of content (the round-4 numbers did
+exactly that); at inner=200 the floor is ~0.25 ms and real phase costs
+(0.3-2 ms) dominate.  The FULL-iteration number at the bottom is
+differential ((wall60-wall15)/45) and overhead-free.
 
 Usage: python benchmarks/phase_bench.py [--elements 10000] [--inner 20]
 """
@@ -23,7 +29,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--elements", type=int, default=10000)
-    ap.add_argument("--inner", type=int, default=20)
+    ap.add_argument("--inner", type=int, default=200)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -107,13 +113,88 @@ def main():
         out = jax.lax.fori_loop(0, inner, body, (sys, jnp.zeros((), V.dtype)))
         return out[1]
 
+    # --- sub-phases of solve_kkt_soa (round-5: locate the glue) ----------
+    from collocfem_tpu.solve.kkt import _equilibrate_soa
+    from collocfem_tpu.ops.spike_pallas import blocktri_solve_spike_fused
+
+    def equil_loop(sys):
+        def body(i, acc):
+            s, inv, inv_sp, dmax = _equilibrate_soa(
+                sys._replace(gx=sys.gx * (1.0 + 1e-30 * acc)), lam)
+            return jnp.max(jnp.abs(s.gx))
+        return jax.lax.fori_loop(0, inner, body, jnp.zeros((), lam.dtype))
+
+    s0 = jax.jit(lambda s: _equilibrate_soa(s, lam))(sys0)[0]
+    jax.block_until_ready(s0)
+    rhs0 = jnp.concatenate([s0.gx[:, None, :], s0.B], axis=1)
+
+    def spike_loop(D, E, G):
+        def body(i, acc):
+            x = blocktri_solve_spike_fused(
+                D, E, G * (1.0 + 1e-30 * acc))
+            return jnp.max(jnp.abs(x))
+        return jax.lax.fori_loop(0, inner, body, jnp.zeros((), lam.dtype))
+
+    # --- LM-body glue beyond (ac + k + s) --------------------------------
+    from collocfem_tpu.solve.lm_core import fused_quadforms
+
+    def quad_loop(sys):
+        def body(i, acc):
+            g, s2 = fused_quadforms(
+                sys.gx.ravel() * (1.0 + 1e-30 * acc), sys.gp,
+                sys.gx.ravel(), sys.gp)
+            return g * 1e-30 + s2 * 1e-30
+        return jax.lax.fori_loop(0, inner, body, jnp.zeros((), lam.dtype))
+
+    # --- the REAL full iteration: fixed-work solver / maxiter ------------
+    from collocfem_tpu.solve import SolverOptions
+    from collocfem_tpu.solve.newton import make_gn_solver
+
+    def lm_wall(iters):
+        solve_fn = make_gn_solver(prob, SolverOptions(
+            maxiter=iters, gtol=0.0, ftol=0.0, xtol=0.0, kkt_refine=0,
+            lam0=3e-6, lam_max=1e30))
+        z1, st1 = solve_fn(z0, data)
+        jax.block_until_ready((z1, st1))
+        walls = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            z, st = solve_fn(z0, data)
+            jax.block_until_ready((z, st))
+            float(np.asarray(st.cost))
+            walls.append(time.perf_counter() - t0)
+        return min(walls)
+
+    def full_wall():
+        """Differential per-iteration cost: (wall60 - wall15)/45 cancels
+        the fixed per-call dispatch/RPC overhead (~50 ms through the
+        tunnel — measured LARGER than the entire 15-iteration compute,
+        which the round-4 phase methodology at inner=20 silently divided
+        into every phase)."""
+        w15, w60 = lm_wall(15), lm_wall(60)
+        per_it = (w60 - w15) / 45.0
+        overhead = w15 - 15 * per_it
+        print(f"{'FULL LM wall (15 its)':>28}: {1e3 * w15:8.3f} ms")
+        print(f"{'FULL LM wall (60 its)':>28}: {1e3 * w60:8.3f} ms")
+        print(f"{'per-iteration (differential)':>28}: "
+              f"{1e3 * per_it:8.3f} ms/iter")
+        print(f"{'per-call overhead (implied)':>28}: "
+              f"{1e3 * overhead:8.3f} ms")
+        return per_it
+
     t_a = timed("assemble_gn_soa", assemble_loop, z0.V, z0.p)
     t_ac = timed("assemble + dw cost", assemble_cost_loop, z0.V, z0.p)
     t_k = timed("solve_kkt_soa (lam fixed)", kkt_loop, sys0)
+    t_eq = timed("  equilibrate_soa only", equil_loop, sys0)
+    t_sp = timed("  spike kernel (pre-scaled)", spike_loop, s0.D, s0.E, rhs0)
     t_c = timed("cost_dw", cost_loop, z0.V, z0.p)
     t_s = timed("sys where-select", select_loop, z0.V, z0.p)
+    t_q = timed("fused_quadforms", quad_loop, sys0)
+    t_f = full_wall()
     print(f"{'old loop (a+k+c)':>28}: {1e3 * (t_a + t_k + t_c):8.3f} ms/iter")
     print(f"{'new loop (ac+k+s)':>28}: {1e3 * (t_ac + t_k + t_s):8.3f} ms/iter")
+    print(f"{'in-loop glue (diff - acks)':>28}: "
+          f"{1e3 * (t_f - t_ac - t_k - t_s):8.3f} ms/iter")
 
 
 if __name__ == "__main__":

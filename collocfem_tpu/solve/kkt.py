@@ -106,7 +106,7 @@ def _equilibrate(sys: BlockTriSystem, lam, damp_scale=None):
         inv_sp = jnp.zeros((0,), sys.D.dtype)
         B, C, gp = sys.B, sys.C, sys.gp
     scaled = BlockTriSystem(D=D, E=E, B=B, C=C, gx=gx, gp=gp)
-    return scaled, inv_sx, inv_sp
+    return scaled, inv_sx, inv_sp, dmax
 
 
 def blocktri_matvec(D, E, X):
@@ -155,7 +155,7 @@ def _equilibrate_soa(sys, lam, damp_scale=None):
     else:
         inv_sp = jnp.zeros((0,), dtype)
         B, C, gp = sys.B, sys.C, sys.gp
-    return type(sys)(D=D, E=E, B=B, C=C, gx=gx, gp=gp), inv, inv_sp
+    return type(sys)(D=D, E=E, B=B, C=C, gx=gx, gp=gp), inv, inv_sp, dmax
 
 
 def _matvec_soa(D, E, X):
@@ -173,7 +173,8 @@ def _matvec_soa(D, E, X):
 
 
 def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False,
-                  spike: bool = False, damp_scale=None):
+                  spike: bool = False, damp_scale=None,
+                  with_dmax: bool = False):
     """SoA twin of :func:`solve_kkt` (sys: assemble.BlockTriSystemSoA).
 
     The entire pipeline — equilibration, factorization, multi-RHS apply,
@@ -198,7 +199,9 @@ def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False,
     from collocfem_tpu.solve.blocktri_dw import blocktri_cr_factor_soa_dw
 
     nq = sys.C.shape[0]
-    s, inv, inv_sp = _equilibrate_soa(sys, lam, damp_scale)
+    s, inv, inv_sp, dmax = _equilibrate_soa(sys, lam, damp_scale)
+    ret = (lambda dx, dp: (dx, dp, dmax)) if with_dmax else \
+        (lambda dx, dp: (dx, dp))
     if spike:
         from collocfem_tpu.ops.spike_pallas import blocktri_solve_spike_fused
 
@@ -212,7 +215,7 @@ def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False,
         for _ in range(refine):
             res = s.gx + _matvec_soa(s.D, s.E, dx)
             dx = dx - apply_fn(res[:, None, :])[:, 0, :]
-        return dx * inv, jnp.zeros((0,), sys.D.dtype)
+        return ret(dx * inv, jnp.zeros((0,), sys.D.dtype))
 
     rhs = jnp.concatenate([s.gx[:, None, :], s.B], axis=1)  # (bd, 1+nq, K)
     x = apply_fn(rhs)
@@ -237,11 +240,11 @@ def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False,
         cx = ax - einsum_hp("bqk,q->bk", a_b, cp)
         dx = dx - cx
         dp = dp - cp
-    return dx * inv, dp * inv_sp
+    return ret(dx * inv, dp * inv_sp)
 
 
 def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
-              refine: int = 0, damp_scale=None):
+              refine: int = 0, damp_scale=None, with_dmax: bool = False):
     """Solve the damped KKT system [[A, B], [B^T, C]] [dx, dp] = -[gx, gp].
 
     Damping is isotropic Levenberg at a dimensionless scale: the system is
@@ -267,9 +270,13 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
         lam_abs = lam * jnp.maximum(scale, jnp.finfo(h.dtype).tiny)
         d = -jnp.linalg.solve(h + lam_abs * jnp.eye(n, dtype=h.dtype), g)
         dx = d[: k * bd].reshape(k, bd)
+        if with_dmax:
+            return dx, d[k * bd :], scale
         return dx, d[k * bd :]
 
-    s, inv_sx, inv_sp = _equilibrate(sys, lam, damp_scale)
+    s, inv_sx, inv_sp, dmax = _equilibrate(sys, lam, damp_scale)
+    ret = (lambda dx, dp: (dx, dp, dmax)) if with_dmax else \
+        (lambda dx, dp: (dx, dp))
     if method == "cr":
         # Factorize once; every solve (multi-RHS and each refinement pass)
         # reuses the factors (blocktri_cr_factor).
@@ -285,7 +292,7 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
         for _ in range(refine):
             res = s.gx + blocktri_matvec(s.D, s.E, dx)
             dx = dx - solve_once(res[..., None])[..., 0]
-        return dx * inv_sx, jnp.zeros((0,), sys.D.dtype)
+        return ret(dx * inv_sx, jnp.zeros((0,), sys.D.dtype))
 
     rhs = jnp.concatenate([s.gx[..., None], s.B], axis=-1)  # (K, bd, 1+nq)
     x = solve_once(rhs)
@@ -310,4 +317,4 @@ def solve_kkt(sys: BlockTriSystem, lam, method: str = "cr",
         cx = ax - einsum_hp("kbq,q->kb", a_b, cp)
         dx = dx - cx
         dp = dp - cp
-    return dx * inv_sx, dp * inv_sp
+    return ret(dx * inv_sx, dp * inv_sp)

@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from collocfem_tpu.ops import doubleword
+from collocfem_tpu.ops.einsum_hp import einsum_hp
 
 HISTORY_COLS = ("cost", "grad_norm", "lam", "step_norm", "accepted")
 
@@ -172,14 +173,17 @@ def lm_loop(
         else:
             accept = decrease & (pred > 0.0) & (rho > 1e-4)
 
-        z_new = jax.tree_util.tree_map(
-            lambda t, c: jnp.where(accept, t, c), z_try, st.z
+        # One scalar-predicate conditional instead of per-leaf selects:
+        # the carry holds the ~5.5 MB assembled system, and a where-select
+        # reads BOTH candidates and writes a third copy every iteration
+        # (~0.26 ms at the N=10k headline shape); the conditional copies
+        # only the taken side.  Under vmap this lowers back to selects
+        # (batched predicates), which is the old behavior.
+        z_new, carry_new, cost_new, cost_lo_new = jax.lax.cond(
+            accept,
+            lambda: (z_try, carry_try, ct.hi, ct.lo),
+            lambda: (st.z, st.carry, st.cost, st.cost_lo),
         )
-        carry_new = jax.tree_util.tree_map(
-            lambda t, c: jnp.where(accept, t, c), carry_try, st.carry
-        )
-        cost_new = jnp.where(accept, ct.hi, st.cost)
-        cost_lo_new = jnp.where(accept, ct.lo, st.cost_lo)
         # Nielsen's adaptive schedule (Madsen-Nielsen-Tingleff): the λ
         # factor tracks the gain ratio instead of a fixed up/down ladder —
         # a rigid ×0.2/×5 ladder was measured oscillating period-2 around
@@ -266,17 +270,18 @@ def lm_loop(
 
 
 def fused_quadforms(gx_flat, gp, dx_flat, dp):
-    """(g·s, s·s) in double-word precision with ONE fused reduction tree.
+    """(g·s, s·s) as ONE fused highest-precision matvec reduction.
 
-    Row 0 sums g·s, row 1 sums s·s — 4 separate dot trees cost ~4× the
-    kernel launches for the same arithmetic (measured on the N=10k
-    headline iteration).  Returns plain (base-dtype) scalars.
+    These feed only the PREDICTED decrease of the gain-ratio test — the
+    actual decrease stays double-word (the cost words in the LM carry), so
+    plain f32 dot accuracy (~sqrt(n)·eps relative, HIGHEST-precision
+    accumulation via einsum_hp) is ample for a ρ > 1e-4 threshold.  The
+    earlier double-word pairwise tree here cost ~0.25 ms/iteration at the
+    N=10k headline shape — a log2(n)-level cascade of ~35 small kernels —
+    against ≤1e-5 relative pred noise it protected; measured round 5:
+    identical iterate paths on the headline run with this one-kernel form.
     """
     s_cat = jnp.concatenate([dx_flat, dp])
     lhs = jnp.stack([jnp.concatenate([gx_flat, gp]), s_cat])
-    sums = doubleword.pairwise_sum(
-        doubleword.DW(*doubleword.two_prod(lhs, s_cat[None, :])), axis=1
-    )
-    gdot = doubleword.to_single(doubleword.DW(sums.hi[0], sums.lo[0]))
-    snorm2 = doubleword.to_single(doubleword.DW(sums.hi[1], sums.lo[1]))
-    return gdot, snorm2
+    sums = einsum_hp("rn,n->r", lhs, s_cat)
+    return sums[0], sums[1]

@@ -127,28 +127,32 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
     soa = opt.method in ("cr", "cr_dw", "spike")
 
     def solve_step(sys, lam):
-        """KKT solve of an assembled system: (dx, dp, dV, gnorm, dmax)."""
+        """KKT solve of an assembled system: (dx, dp, dV, gnorm, dmax).
+
+        ``dmax`` (the dimensionless-damping scale max diag(H)) is read
+        back from the solve's own equilibration pass instead of being
+        re-derived here — the diag extraction + concat + max it replaced
+        were ~4 extra kernels per LM iteration at the headline shape.
+        """
         gnorm = jnp.maximum(
             jnp.max(jnp.abs(sys.gx)), jnp.max(jnp.abs(sys.gp), initial=0.0)
         )
         if soa:
-            dx, dp = solve_kkt_soa(
+            dx, dp, dmax = solve_kkt_soa(
                 sys, lam, opt.kkt_refine,
                 dw=opt.method == "cr_dw",
                 spike=opt.method == "spike",
+                with_dmax=True,
             )
             dV = blocks_to_nodes_soa(dx, num_nodes, nv)
-            diag = jnp.stack([sys.D[i, i] for i in range(sys.D.shape[0])])
             dx_flat = dx.ravel()
         else:
-            dx, dp = solve_kkt(sys, lam, opt.method, opt.kkt_refine)
+            dx, dp, dmax = solve_kkt(
+                sys, lam, opt.method, opt.kkt_refine, with_dmax=True
+            )
             dV = blocks_to_nodes(dx, num_nodes, nv)
-            diag = jnp.einsum("kii->ki", sys.D)
             dx_flat = dx.ravel()
-        diag = diag.ravel()
-        if sys.C.shape[0]:
-            diag = jnp.concatenate([diag, jnp.diag(sys.C)])
-        return dx_flat, dp, dV, gnorm, jnp.max(diag)
+        return dx_flat, dp, dV, gnorm, dmax
 
     def gx_flat(sys):
         # g·s and s·s only need ELEMENTWISE pairing, which plain ravel
