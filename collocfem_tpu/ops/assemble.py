@@ -299,45 +299,71 @@ def assemble_gn_soa(problem, z, data, with_cost: bool = False):
         return r, jx, jp
 
     r, jx, jp = jax.vmap(per_elem, in_axes=(0, 0))(xe, ed)
-    hxx = einsum_hp("emi,emj->ije", jx, jx)          # (s, s, N)
-    hxp = einsum_hp("emi,emq->iqe", jx, jp)          # (s, nq, N)
+
+    # 2D-first construction (round-5 layout fix): every chain array is
+    # built as (rows, K) — whose DEFAULT layout puts the chain on the
+    # 128-wide vector lanes — and bitcast-reshaped to the 3D SoA shape at
+    # the end.  Building in 3D (bd, bd, K) let XLA propagate the
+    # contraction emitters' block-major {0,1,2} layout into the whole
+    # scatter chain, where each update ran at 8/128 lane occupancy (the
+    # diagonal-add dynamic-update-slice alone was ~1 ms/iteration in the
+    # device trace, ~30% of the LM iteration).  The per-piece contractions
+    # below also skip the never-used hxx[bd:, :bd] cross block.
+    jx1, jx2 = jx[:, :, :bd], jx[:, :, bd:]
+    h11 = einsum_hp("emi,emj->ije", jx1, jx1).reshape(bd * bd, n)
+    h22 = einsum_hp("emi,emj->ije", jx2, jx2)        # (nv, nv, N)
+    h12 = einsum_hp("emi,emj->ije", jx1, jx2)        # (bd, nv, N)
+    b1 = einsum_hp("emi,emq->iqe", jx1, jp).reshape(bd * nq, n)
+    b2 = einsum_hp("emi,emq->iqe", jx2, jp).reshape(nv * nq, n)
     hpp = einsum_hp("emq,emr->qr", jp, jp)           # (nq, nq)
-    gxe = einsum_hp("emi,em->ie", jx, r)             # (s, N)
+    g1 = einsum_hp("emi,em->ie", jx1, r)             # (bd, N)
+    g2 = einsum_hp("emi,em->ie", jx2, r)             # (nv, N)
     gpe = einsum_hp("emq,em->q", jp, r)              # (nq,)
 
     dtype = z.V.dtype
-    D = jnp.zeros((bd, bd, k), dtype)
-    D = D.at[:, :, :n].add(hxx[:bd, :bd])
-    D = D.at[:nv, :nv, 1:n + 1].add(hxx[bd:, bd:])
-    E = jnp.zeros((bd, bd, k), dtype)
-    E = E.at[:, :nv, :n].add(hxx[:bd, bd:])
-    B = jnp.zeros((bd, nq, k), dtype)
-    B = B.at[:, :, :n].add(hxp[:bd])
-    B = B.at[:nv, :, 1:n + 1].add(hxp[bd:])
+    pad_cols = [(0, 0), (0, bd - nv), (0, 0)]
+    D2 = jnp.zeros((bd * bd, k), dtype)
+    D2 = D2.at[:, :n].add(h11)
+    # Block e+1 top-left (nv, nv) overlap: rows i*bd+j for i, j < nv are
+    # the leading nv*bd rows once the column space is padded nv -> bd.
+    D2 = D2.at[:nv * bd, 1:n + 1].add(
+        jnp.pad(h22, pad_cols).reshape(nv * bd, n)
+    )
+    E2 = jnp.zeros((bd * bd, k), dtype)
+    E2 = E2.at[:, :n].set(
+        jnp.pad(h12, pad_cols).reshape(bd * bd, n)
+    )
+    B2 = jnp.zeros((bd * nq, k), dtype)
+    B2 = B2.at[:, :n].add(b1)
+    B2 = B2.at[:nv * nq, 1:n + 1].add(b2)
     gx = jnp.zeros((bd, k), dtype)
-    gx = gx.at[:, :n].add(gxe[:bd])
-    gx = gx.at[:nv, 1:n + 1].add(gxe[bd:])
+    gx = gx.at[:, :n].add(g1)
+    gx = gx.at[:nv, 1:n + 1].add(g2)
 
-    # Diagonal additions in ONE fused scatter: SPD identity on the trailing
-    # pad entries of the last block + x0-prior weights on block 0 (the
-    # previous per-entry .at loops cost ~8 separate full-array updates).
     pw2 = data.p_w**2
     C = hpp + jnp.diag(pw2)
     gp = gpe + pw2 * (z.p - data.p_prior)
     dx0 = z.V[0, :nx] - data.x0_prior
+    # Diagonal additions (SPD identity on the trailing pad entries of the
+    # last block + x0-prior weights on block 0) as ONE static-index row
+    # scatter on the 2D layout.
     diag_add = jnp.zeros((bd, k), dtype)
     diag_add = diag_add.at[nv:, k - 1].set(1.0)
     if data.x0_w.ndim == 2:  # full sqrt-information prior: Λ = LᵀL
         lam_x0 = data.x0_w.T @ data.x0_w
-        D = D.at[:nx, :nx, 0].add(lam_x0)
+        for i in range(nx):
+            D2 = D2.at[i * bd:i * bd + nx, 0:1].add(lam_x0[i][:, None])
         gx = gx.at[:nx, 0].add(lam_x0 @ dx0)
     else:
         diag_add = diag_add.at[:nx, 0].add(data.x0_w**2)
         gx = gx.at[:nx, 0].add(data.x0_w**2 * dx0)
-    rows = jnp.arange(bd)
-    D = D.at[rows, rows, :].add(diag_add)
+    diag_rows = jnp.arange(bd) * (bd + 1)
+    D2 = D2.at[diag_rows, :].add(diag_add)
 
-    out = BlockTriSystemSoA(D=D, E=E, B=B, C=C, gx=gx, gp=gp)
+    out = BlockTriSystemSoA(
+        D=D2.reshape(bd, bd, k), E=E2.reshape(bd, bd, k),
+        B=B2.reshape(bd, nq, k), C=C, gx=gx, gp=gp,
+    )
     if with_cost:
         return out, _cost_dw_from_residuals(r, z, data, nx)
     return out

@@ -199,6 +199,17 @@ def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False,
     from collocfem_tpu.solve.blocktri_dw import blocktri_cr_factor_soa_dw
 
     nq = sys.C.shape[0]
+    if spike and nq > 0 and refine == 0 and not dw:
+        # The whole pipeline — equilibration (via in-kernel scaled loads),
+        # multi-RHS SPIKE, arrowhead Schur, compose, unscale — in ONE
+        # Mosaic program; the XLA glue it replaces cost ~4x the kernel
+        # (ops.spike_pallas.kkt_solve_spike_fused).
+        from collocfem_tpu.ops.spike_pallas import kkt_solve_spike_fused
+
+        dx, dp, dmax = kkt_solve_spike_fused(
+            sys.D, sys.E, sys.B, sys.gx, sys.C, sys.gp, lam, damp_scale
+        )
+        return (dx, dp, dmax) if with_dmax else (dx, dp)
     s, inv, inv_sp, dmax = _equilibrate_soa(sys, lam, damp_scale)
     ret = (lambda dx, dp: (dx, dp, dmax)) if with_dmax else \
         (lambda dx, dp: (dx, dp))
