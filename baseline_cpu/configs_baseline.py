@@ -81,7 +81,7 @@ class DuffingModelNP:
     def h(self, X, U, p, t):
         return X[..., :1]
 
-    def dhdx(self, X):
+    def dhdx(self, X, U=None, p=None):
         out = np.zeros(X.shape[:-1] + (1, 2))
         out[..., 0, 0] = 1.0
         return out
@@ -179,6 +179,107 @@ def build_stacked_multi_experiment(mesh, t_meas, y_all, u_nodes_all,
     )
 
 
+class AircraftModelNP:
+    """Short-period aircraft model with hand-coded numpy derivatives.
+
+    Mirrors collocfem_tpu.models.AircraftLongitudinal: x = [alpha, q],
+    u = [de], p = [Z_a, M_a, M_q, Z_d, M_d]; outputs [alpha, q, az] with
+    az = V/g0 * (alpha' - q) reconstructed from the model — the az channel
+    depends on p and u, which is why the pipeline carries dhdp.
+    """
+
+    nx, nu, nq, ny = 2, 1, 5, 3
+
+    def __init__(self, V=60.0, g0=9.81):
+        self.V = float(V)
+        self.g0 = float(g0)
+
+    def f(self, X, U, p, t):
+        alpha, q = X[..., 0], X[..., 1]
+        Za, Ma, Mq, Zd, Md = p
+        de = U[..., 0]
+        return np.stack(
+            [Za * alpha + q + Zd * de, Ma * alpha + Mq * q + Md * de], -1
+        )
+
+    def dfdx(self, X, U, p, t):
+        alpha = X[..., 0]
+        Za, Ma, Mq, Zd, Md = p
+        z, o = np.zeros_like(alpha), np.ones_like(alpha)
+        row0 = np.stack([Za * o, o], -1)
+        row1 = np.stack([Ma * o, Mq * o], -1)
+        return np.stack([row0, row1], -2)
+
+    def dfdp(self, X, U, p, t):
+        alpha, q = X[..., 0], X[..., 1]
+        de = U[..., 0]
+        z = np.zeros_like(alpha)
+        row0 = np.stack([alpha, z, z, de, z], -1)
+        row1 = np.stack([z, alpha, q, z, de], -1)
+        return np.stack([row0, row1], -2)
+
+    def h(self, X, U, p, t):
+        alpha, q = X[..., 0], X[..., 1]
+        Za, Ma, Mq, Zd, Md = p
+        de = U[..., 0]
+        az = self.V / self.g0 * (Za * alpha + Zd * de)
+        return np.stack([alpha, q, az], -1)
+
+    def dhdx(self, X, U=None, p=None):
+        Za = p[0]
+        out = np.zeros(X.shape[:-1] + (3, 2))
+        out[..., 0, 0] = 1.0
+        out[..., 1, 1] = 1.0
+        out[..., 2, 0] = self.V / self.g0 * Za
+        return out
+
+    def dhdp(self, X, U, p):
+        alpha = X[..., 0]
+        de = U[..., 0]
+        out = np.zeros(X.shape[:-1] + (3, 5))
+        out[..., 2, 0] = self.V / self.g0 * alpha
+        out[..., 2, 3] = self.V / self.g0 * de
+        return out
+
+
+def run_config4(iters=40):
+    """Aircraft output-error estimation, N=200 — CPU counterpart of
+    benchmarks/configs_bench.config4_aircraft.  IDENTICAL data (the
+    committed flight-record CSV), mesh, weights, initial guess, and fixed
+    work (40 LM iterations)."""
+    from collocfem_tpu.utils.io import load_measurements
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", "data",
+                        "aircraft_doublet.csv")
+    t_meas, vals = load_measurements(path)
+    y, u_rec = vals[:, :3], vals[:, 3]
+    NOISE = np.array([0.002, 0.005, 0.05])
+    mesh = uniform_mesh(0.0, 8.0, 200, 4)
+    u_nodes = np.interp(mesh.elem_times, t_meas, u_rec)[..., None]
+    base = BaselineProblem.build(
+        mesh, t_meas, y, u_nodes, defect_weight=1e4,
+        meas_weight=1.0 / NOISE, model=AircraftModelNP(V=60.0, g0=9.81),
+    )
+    V0 = np.zeros((mesh.num_nodes, 2))
+    V0[:, 0] = np.interp(mesh.node_times, t_meas, y[:, 0])
+    V0[:, 1] = np.interp(mesh.node_times, t_meas, y[:, 1])
+    p0 = np.array([-1.0, -5.0, -1.0, -0.1, -5.0])
+
+    t0 = time.perf_counter()
+    V, p, info = gauss_newton_baseline(
+        base, V0, p0, maxiter=iters, gtol=0.0, xtol=0.0
+    )
+    wall = time.perf_counter() - t0
+    P_TRUE = np.array([-1.2, -8.0, -2.5, -0.15, -12.0])
+    p_rel = float(np.max(np.abs(p / P_TRUE - 1.0)))
+    return {
+        "config": "aircraft_oe_n200", "backend": "scipy-SuperLU",
+        "wall_s": round(wall, 4),
+        "detail": {"elements": 200, "iters": info["iterations"],
+                   "p_rel_err": p_rel},
+    }
+
+
 def run_config2(iters=25):
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
@@ -251,6 +352,8 @@ def main():
         key = key.strip()
         if key == "2":
             res = run_config2()
+        elif key == "4":
+            res = run_config4()
         elif key == "5":
             res = run_config5(args.experiments)
         else:

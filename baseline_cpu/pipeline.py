@@ -54,7 +54,7 @@ class VdPModelNP:
     def h(self, X, U, p, t):
         return X[..., :1]
 
-    def dhdx(self, X):
+    def dhdx(self, X, U=None, p=None):
         out = np.zeros(X.shape[:-1] + (1, 2))
         out[..., 0, 0] = 1.0
         return out
@@ -98,7 +98,9 @@ class BaselineProblem:
         return BaselineProblem(
             model=model, mesh=mesh, y=yg, mrows=rg, mmask=mg, mtimes=tg,
             u=u_nodes, dscale=scale,
-            meas_w=np.full(model.ny, float(meas_weight)),
+            meas_w=np.broadcast_to(
+                np.asarray(meas_weight, dtype=np.float64), (model.ny,)
+            ).copy(),
             p_prior=p_prior, p_w=pw,
         )
 
@@ -118,7 +120,8 @@ class BaselineProblem:
         fv = m.f(Xe, self.u, p, te)
         defect = (xdot - fv)[:, 1:, :] * self.dscale        # (N, d, nx)
         xs = np.einsum("esj,ejn->esn", self.mrows, Xe)      # (N, S, nx)
-        hs = m.h(xs, None, p, self.mtimes)
+        us = np.einsum("esj,ejq->esq", self.mrows, self.u)  # (N, S, nu)
+        hs = m.h(xs, us, p, self.mtimes)
         meas = (hs - self.y) * self.meas_w * self.mmask[..., None]
         n = mesh.num_elements
         out = np.concatenate(
@@ -151,9 +154,11 @@ class BaselineProblem:
             -m.dfdp(Xe, self.u, p, te)[:, 1:] * self.dscale[..., None]
         ).reshape(n, d * nx, nq)
 
-        # d meas / d x: rows . dh/dx
+        # d meas / d x: rows . dh/dx  (+ dh/dp for p-dependent outputs,
+        # e.g. the aircraft az channel reconstructs alpha' from the model)
         xs = np.einsum("esj,ejn->esn", self.mrows, Xe)
-        Hx = m.dhdx(xs)                                    # (N, S, ny, nx)
+        us = np.einsum("esj,ejq->esq", self.mrows, self.u)
+        Hx = m.dhdx(xs, us, p)                             # (N, S, ny, nx)
         jm = (
             Hx[:, :, :, None, :] * self.mrows[:, :, None, :, None]
         )                                                  # (N, S, ny, d+1, nx)
@@ -161,7 +166,14 @@ class BaselineProblem:
         jm = jm * self.mmask[:, :, None, None, None]
         sy = self.y.shape[1] * m.ny
         jm_x = jm.reshape(n, sy, s)
-        jm_p = np.zeros((n, sy, nq))
+        if hasattr(m, "dhdp"):
+            Hp = m.dhdp(xs, us, p)                         # (N, S, ny, nq)
+            jm_p = (
+                Hp * self.meas_w[None, None, :, None]
+                * self.mmask[:, :, None, None]
+            ).reshape(n, sy, nq)
+        else:
+            jm_p = np.zeros((n, sy, nq))
 
         jx = np.concatenate([jd_x, jm_x], axis=1)          # (N, rows_e, s)
         jp = np.concatenate([jd_p, jm_p], axis=1)

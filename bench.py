@@ -152,10 +152,16 @@ def run_converged(elements, coarsen=4, levels=3):
         data = prob.pack_data(y, t_meas, u_nodes=u_nodes)
         # Cold coarse level starts at the productive damping; warm levels
         # start in the quadratic basin (lam ~ 0).  Termination: λ-railed
-        # exit at the f32 progress floor (no tolerance tuning).
+        # exit at the f32 progress floor (no tolerance tuning).  Levels
+        # past the f32 conditioning cliff (refine.CR_DW_CHAIN: cond ~ K²
+        # reaches the f32 step-accuracy floor near K ~ 4e4) run the
+        # double-word factorization tier so the N=100k ladder meets the
+        # same 1e-4 bar as 10k (round-4 gap: p-err 4.9e-4 with plain f32).
+        from collocfem_tpu.refine import CR_DW_CHAIN
         opts = SolverOptions(
             maxiter=60 if i == 0 else 30, gtol=0.0,
             lam0=3e-6 if i == 0 else 1e-9,
+            method="cr_dw" if n + 1 > CR_DW_CHAIN else "auto",
         )
         prolong = (
             None if prev_mesh is None

@@ -10,7 +10,14 @@ that model and measures against it:
     traffic; XLA fusion can't do better, re-materialization does worse);
   * measured per-phase walls (fori_loop of data-dependent repetitions
     bounded by one scalar fetch — per-call timing lies through the
-    tunneled device);
+    tunneled device).  METHODOLOGY NOTE (round 5): the round-4 numbers
+    from this script were invalid twice over — the loop bodies used a
+    ``0e0 * acc`` coupling that XLA hoisted (the loop measured nothing)
+    and inner=20 divided the ~50 ms per-call dispatch/RPC overhead into
+    every phase.  Bodies now carry a real 1e-30 data dependence,
+    inner defaults to 400, and the full-iteration row is DIFFERENTIAL
+    ((wall60 - wall15)/45 of the actual solver), which cancels the
+    per-call overhead exactly;
   * achieved GB/s = model bytes / measured wall, reported as a fraction of
     the chip's HBM peak (v5e: 819 GB/s; override with --hbm-peak).
 
@@ -39,7 +46,7 @@ def nbytes(*arrs):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--elements", type=int, default=10000)
-    ap.add_argument("--inner", type=int, default=20)
+    ap.add_argument("--inner", type=int, default=400)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--hbm-peak", type=float, default=V5E_HBM_PEAK_GBS)
     args = ap.parse_args()
@@ -81,12 +88,17 @@ def main():
         + nbytes(data.y, data.u)
         + sys_bytes
     )
-    # KKT solve: equilibration reads+writes the chain (2x sys), the SPIKE
-    # kernel reads the scaled chain + 3-col RHS once and writes the 3-col
-    # solution, back-substitution/Schur recombination re-reads the
-    # solution strip.
+    # KKT solve (fused one-kernel path): the relay layout pass reads the
+    # raw chain + RHS + scale vector and writes the padded relayed copies;
+    # the kernel reads those once and writes the 1-col solution; the tiny
+    # Schur/unscale tails are lane-resident.
     rhs_bytes = nbytes(sys0.gx) + nbytes(sys0.B)
-    kkt_bytes = 2 * sys_bytes + (sys_bytes + rhs_bytes) + 3 * rhs_bytes
+    inv_bytes = nbytes(sys0.gx)
+    kkt_bytes = (
+        2 * (sys_bytes + rhs_bytes + inv_bytes)   # relay read+write
+        + (sys_bytes + rhs_bytes + inv_bytes)     # kernel reads
+        + nbytes(sys0.gx)                         # dx write
+    )
     # Iterate update + accept bookkeeping: read step + V, write V.
     upd_bytes = 3 * nbytes(z0.V)
 
@@ -109,40 +121,59 @@ def main():
     def assemble_loop(V, p):
         def body(i, acc):
             s, ct = assemble_gn_soa(
-                prob, Decision(V=V + 0e0 * acc, p=p), data, with_cost=True
+                prob, Decision(V=V * (1.0 + 1e-30 * acc), p=p), data,
+                with_cost=True
             )
-            return acc + s.gx[0, 0] + ct.hi
+            return acc + s.gx[0, 0] + ct.hi * 1e-30
 
         return jax.lax.fori_loop(0, inner, body, jnp.zeros((), V.dtype))
 
     def kkt_loop(_):
         def body(i, acc):
-            s = sys0._replace(D=sys0.D + 0e0 * acc)
-            dx, dp = solve_kkt_soa(s, lam, 0, spike=jax.default_backend() == "tpu")
-            return acc + dx[0, 0] + dp[0]
+            s = sys0._replace(D=sys0.D * (1.0 + 1e-30 * acc))
+            dx, dp = solve_kkt_soa(s, lam, 0,
+                                   spike=jax.default_backend() == "tpu")
+            return acc + dx[0, 0] + dp[0] * 1e-30
 
         return jax.lax.fori_loop(0, inner, body, jnp.zeros((), sys0.D.dtype))
 
     t_asm = timed("assembly", assemble_loop, z0.V, z0.p)
     t_kkt = timed("kkt", kkt_loop, jnp.zeros(()))
 
+    # Differential full-iteration wall from the ACTUAL solver: cancels the
+    # per-call dispatch overhead that polluted per-call timings.
+    from collocfem_tpu.solve import SolverOptions
+    from collocfem_tpu.solve.newton import make_gn_solver
+
+    def lm_wall(iters):
+        solve_fn = make_gn_solver(prob, SolverOptions(
+            maxiter=iters, gtol=0.0, ftol=0.0, xtol=0.0, kkt_refine=0,
+            lam0=3e-6, lam_max=1e30))
+        z1, st1 = solve_fn(z0, data)
+        jax.block_until_ready((z1, st1))
+        walls = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            z, st = solve_fn(z0, data)
+            jax.block_until_ready((z, st))
+            float(np.asarray(st.cost))
+            walls.append(time.perf_counter() - t0)
+        return min(walls)
+
+    t_iter = (lm_wall(60) - lm_wall(15)) / 45.0
+
     peak = args.hbm_peak
     print(f"N={args.elements} headline iteration, "
           f"backend={jax.default_backend()}, dtype={sys0.D.dtype}")
     print(f"{'phase':>10} {'model MB':>10} {'wall ms':>9} "
           f"{'GB/s':>8} {'% peak':>7}")
-    total_b, total_t = 0, 0.0
+    total_b = asm_bytes + kkt_bytes + upd_bytes
     for name, b, t in [("assembly", asm_bytes, t_asm),
-                       ("kkt solve", kkt_bytes, t_kkt)]:
+                       ("kkt solve", kkt_bytes, t_kkt),
+                       ("iteration", total_b, t_iter)]:
         gbs = b / t / 1e9
         print(f"{name:>10} {b / 1e6:>10.2f} {1e3 * t:>9.3f} "
               f"{gbs:>8.1f} {100 * gbs / peak:>6.1f}%")
-        total_b += b
-        total_t += t
-    total_b += upd_bytes
-    gbs = total_b / total_t / 1e9
-    print(f"{'iteration':>10} {total_b / 1e6:>10.2f} {1e3 * total_t:>9.3f} "
-          f"{gbs:>8.1f} {100 * gbs / peak:>6.1f}%")
     print(f"\nHBM peak assumed: {peak:.0f} GB/s. Phases far below peak are "
           "bound by kernel issue/latency, not bandwidth.")
 

@@ -92,10 +92,11 @@ def estimate_multilevel(
     ns = [max(2, int(np.ceil(num_elements / coarsen ** (levels - 1 - i))))
           for i in range(levels)]
     ns[-1] = num_elements
+    opts_per_level = level_schedule(options, ns)
     z = None
     history = []
     prev_mesh = None
-    for n in ns:
+    for n, opts in zip(ns, opts_per_level):
         from collocfem_tpu.ops.mesh import uniform_mesh
 
         mesh = uniform_mesh(t0, tf, n, degree)
@@ -111,11 +112,45 @@ def estimate_multilevel(
         else:
             V0 = interpolate_trajectory(prev_mesh, z.V, mesh.node_times)
             z0 = Decision(V=jnp.asarray(V0, prob.dtype), p=z.p)
-        solve = make_gn_solver(prob, options)
+        solve = make_gn_solver(prob, opts)
         z, stats = solve(z0, data)
         history.append((mesh, np.asarray(z.p), float(stats.cost)))
         prev_mesh = mesh
     return prob, z, stats, history
+
+
+# Chain length past which the plain-f32 factorization accuracy floors out:
+# the equilibrated collocation chain has cond ~ K^2 (1-D-Poisson-like), and
+# at K ~ 4e4 the K^2 * eps_f32 step error reaches ~1e-4 relative — measured
+# at N=100k round 4 as a converged p-err of 4.9e-4 that no amount of
+# iteration repairs.  Levels beyond this run the double-word (~48-bit)
+# cyclic reduction instead.
+CR_DW_CHAIN = 40_000
+
+
+def level_schedule(options: SolverOptions, ns) -> list[SolverOptions]:
+    """Per-level (method, tier) schedule for nested iteration.
+
+    ``options`` may be a sequence (one per level, used verbatim) or a
+    single :class:`SolverOptions` — then levels whose chain length K = n+1
+    exceeds :data:`CR_DW_CHAIN` get ``method='cr_dw'`` (the double-word
+    factorization tier that restores quadratic-ladder accuracy past the
+    f32 conditioning cliff) and the rest keep the given method.
+    """
+    import dataclasses
+
+    if isinstance(options, (list, tuple)):
+        if len(options) != len(ns):
+            raise ValueError(
+                f"options sequence has {len(options)} entries for "
+                f"{len(ns)} levels"
+            )
+        return list(options)
+    return [
+        dataclasses.replace(options, method="cr_dw")
+        if n + 1 > CR_DW_CHAIN else options
+        for n in ns
+    ]
 
 
 def estimate_adaptive(
