@@ -234,6 +234,79 @@ def soa_from_blocks(sys: BlockTriSystem) -> BlockTriSystemSoA:
     )
 
 
+def scatter_gn_blocks_soa(hxx, hxp, hpp, gxe, gpe, *, num_blocks, nv,
+                          overlap, dtype):
+    """SoA twin of :func:`scatter_gn_blocks` — element-LAST inputs.
+
+    Args: hxx (s, s, N), hxp (s, nq, N), gxe (s, N) with the element axis
+    on the vector lanes; hpp/gpe as in the block-major version.  Built in
+    2D (rows, K) form (lanes on the chain) and bitcast to 3D — the same
+    layout discipline as assemble_gn_soa, so no block-major intermediates
+    exist anywhere (OCP hot loops previously paid a soa_from_blocks
+    conversion per inner LM iteration).
+    """
+    s, _, n = hxx.shape
+    k = num_blocks
+    bd = s - overlap
+    nq = hxp.shape[1]
+    pad_cols = [(0, 0), (0, bd - overlap), (0, 0)]
+
+    D2 = jnp.zeros((bd * bd, k), dtype)
+    D2 = D2.at[:, :n].add(hxx[:bd, :bd].reshape(bd * bd, n))
+    D2 = D2.at[:overlap * bd, 1:n + 1].add(
+        jnp.pad(hxx[bd:, bd:], pad_cols).reshape(overlap * bd, n)
+    )
+    E2 = jnp.zeros((bd * bd, k), dtype)
+    E2 = E2.at[:, :n].set(
+        jnp.pad(hxx[:bd, bd:], pad_cols).reshape(bd * bd, n)
+    )
+    B2 = jnp.zeros((bd * nq, k), dtype)
+    B2 = B2.at[:, :n].add(hxp[:bd].reshape(bd * nq, n))
+    B2 = B2.at[:overlap * nq, 1:n + 1].add(
+        hxp[bd:].reshape(overlap * nq, n)
+    )
+    gx = jnp.zeros((bd, k), dtype)
+    gx = gx.at[:, :n].add(gxe[:bd])
+    gx = gx.at[:overlap, 1:n + 1].add(gxe[bd:])
+    # SPD identity on the trailing pad entries of the last block.
+    import numpy as _np
+
+    pad_rows = _np.arange(overlap, bd) * (bd + 1)
+    D2 = D2.at[pad_rows, k - 1].add(1.0)
+    return BlockTriSystemSoA(
+        D=D2.reshape(bd, bd, k), E=E2.reshape(bd, bd, k),
+        B=B2.reshape(bd, nq, k), C=hpp, gx=gx, gp=gpe,
+    )
+
+
+def node_block_scatter_soa(sys, Hn, Bn, gn, degree):
+    """Add per-node terms into the SoA block structure, node-LAST inputs.
+
+    Hn (nv, nv, M), Bn (nv, nq, M), gn (nv, M); node m lives in block
+    m // d at node-offset m % d, so nodes of a fixed offset land on
+    CONSECUTIVE lanes — d static strided lane-slices, no dynamic scatter
+    (the same discipline as solve.bounds' barrier adds).
+    """
+    bd, _, k = sys.D.shape
+    nq = sys.C.shape[0]
+    nv = gn.shape[0]
+    d = degree
+    m = gn.shape[-1]
+    D = sys.D.reshape(d, nv, d, nv, k)
+    B = sys.B.reshape(d, nv, nq, k)
+    gx = sys.gx.reshape(d, nv, k)
+    for off in range(d):
+        w = len(range(off, m, d))
+        D = D.at[off, :, off, :, :w].add(Hn[:, :, off::d])
+        if nq:
+            B = B.at[off, :, :, :w].add(Bn[:, :, off::d])
+        gx = gx.at[off, :, :w].add(gn[:, off::d])
+    return sys._replace(
+        D=D.reshape(bd, bd, k), B=B.reshape(bd, nq, k),
+        gx=gx.reshape(bd, k),
+    )
+
+
 def assemble_newton_soa(problem, z, data) -> "BlockTriSystemSoA":
     """SoA twin of :func:`assemble_newton`.
 

@@ -38,8 +38,9 @@ from collocfem_tpu.ops.assemble import (
     BlockTriSystem,
     blocks_to_nodes,
     blocks_to_nodes_soa,
+    node_block_scatter_soa,
     scatter_gn_blocks,
-    soa_from_blocks,
+    scatter_gn_blocks_soa,
 )
 from collocfem_tpu.problem import Decision
 from collocfem_tpu.solve.kkt import (resolve_auto_method,
@@ -240,34 +241,54 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
             ve, mult.defect, problem.widths, problem.elem_times,
             problem.cscale, problem.qscale,
         )
-        hxx = einsum_hp("emi,emj->eij", jx, jx)
-        hxp = einsum_hp("emi,emq->eiq", jx, jp)
+        # Layout-native normal equations: the SoA branch orders every
+        # einsum output element/node-LAST and scatters with static lane
+        # slices, so NO block-major intermediate (and no per-iteration
+        # soa_from_blocks conversion, round-3/4 weak item) exists in the
+        # hot loop.
         hpp = einsum_hp("emq,emr->qr", jp, jp)
-        gxe = einsum_hp("emi,em->ei", jx, r)
         gpe = einsum_hp("emq,em->q", jp, r)
-        sys = scatter_gn_blocks(
-            hxx, hxp, hpp, gxe, gpe,
-            num_blocks=k, nv=nv, overlap=nv, dtype=problem.dtype,
-        )
+        if soa:
+            sys = scatter_gn_blocks_soa(
+                einsum_hp("emi,emj->ije", jx, jx),
+                einsum_hp("emi,emq->iqe", jx, jp),
+                hpp, einsum_hp("emi,em->ie", jx, r), gpe,
+                num_blocks=k, nv=nv, overlap=nv, dtype=problem.dtype,
+            )
+        else:
+            sys = scatter_gn_blocks(
+                einsum_hp("emi,emj->eij", jx, jx),
+                einsum_hp("emi,emq->eiq", jx, jp),
+                hpp, einsum_hp("emi,em->ei", jx, r), gpe,
+                num_blocks=k, nv=nv, overlap=nv, dtype=problem.dtype,
+            )
 
         # Boundary conditions: analytic diagonal terms.  Node 0 -> block 0;
         # node M-1 = N*d -> block K-1 offset 0.
         r0, rf = boundary_terms(z, mult, rho)
         ix = jnp.arange(nx)
-        D = sys.D.at[0, ix, ix].add(rho * problem.x0_mask)
-        D = D.at[k - 1, ix, ix].add(rho * problem.xf_mask)
-        gx = sys.gx.at[0, :nx].add(jnp.sqrt(rho) * r0)
-        gx = gx.at[k - 1, :nx].add(jnp.sqrt(rho) * rf)
-
-        # Terminal cost (Mayer term) at the last node.
         x, _ = problem.split(z.V)
         tr = terminal_res(x[-1], z.p)
         jt_x, jt_p = jax.jacfwd(terminal_res, argnums=(0, 1))(x[-1], z.p)
-        D = D.at[k - 1, :nx, :nx].add(einsum_hp("mi,mj->ij", jt_x, jt_x))
-        B = sys.B.at[k - 1, :nx, :].add(einsum_hp("mi,mq->iq", jt_x, jt_p))
+        t_xx = einsum_hp("mi,mj->ij", jt_x, jt_x)
+        t_xp = einsum_hp("mi,mq->iq", jt_x, jt_p)
+        t_gx = einsum_hp("mi,m->i", jt_x, tr)
         C = sys.C + einsum_hp("mq,mr->qr", jt_p, jt_p)
-        gx = gx.at[k - 1, :nx].add(einsum_hp("mi,m->i", jt_x, tr))
         gp = sys.gp + einsum_hp("mq,m->q", jt_p, tr)
+        if soa:
+            D = sys.D.at[ix, ix, 0].add(rho * problem.x0_mask)
+            D = D.at[ix, ix, k - 1].add(rho * problem.xf_mask)
+            D = D.at[:nx, :nx, k - 1].add(t_xx)
+            B = sys.B.at[:nx, :, k - 1].add(t_xp)
+            gx = sys.gx.at[:nx, 0].add(jnp.sqrt(rho) * r0)
+            gx = gx.at[:nx, k - 1].add(jnp.sqrt(rho) * rf + t_gx)
+        else:
+            D = sys.D.at[0, ix, ix].add(rho * problem.x0_mask)
+            D = D.at[k - 1, ix, ix].add(rho * problem.xf_mask)
+            D = D.at[k - 1, :nx, :nx].add(t_xx)
+            B = sys.B.at[k - 1, :nx, :].add(t_xp)
+            gx = sys.gx.at[0, :nx].add(jnp.sqrt(rho) * r0)
+            gx = gx.at[k - 1, :nx].add(jnp.sqrt(rho) * rf + t_gx)
         sys = sys._replace(D=D, B=B, C=C, gx=gx, gp=gp)
 
         # Log-barrier: per-node gradient + PSD Gauss-Newton Hessian.
@@ -283,12 +304,22 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
         )(z.V, z.p, problem.node_times)                     # (M, ng, nv/nq)
         w1 = mu / (-gvals)                                  # (M, ng) > 0
         w2 = w1 / (-gvals)                                  # mu / g^2
-        gn = einsum_hp("mgi,mg->mi", jgv, w1)
         gp_bar = einsum_hp("mgq,mg->q", jgp, w1)
-        Hn = einsum_hp("mgi,mg,mgj->mij", jgv, w2, jgv)
-        Bn = einsum_hp("mgi,mg,mgq->miq", jgv, w2, jgp)
         Hpp_bar = einsum_hp("mgq,mg,mgr->qr", jgp, w2, jgp)
-        sys = _node_block_scatter(sys, Hn, Bn, gn, d)
+        if soa:
+            sys = node_block_scatter_soa(
+                sys,
+                einsum_hp("mgi,mg,mgj->ijm", jgv, w2, jgv),
+                einsum_hp("mgi,mg,mgq->iqm", jgv, w2, jgp),
+                einsum_hp("mgi,mg->im", jgv, w1), d,
+            )
+        else:
+            sys = _node_block_scatter(
+                sys,
+                einsum_hp("mgi,mg,mgj->mij", jgv, w2, jgv),
+                einsum_hp("mgi,mg,mgq->miq", jgv, w2, jgp),
+                einsum_hp("mgi,mg->mi", jgv, w1), d,
+            )
         sys = sys._replace(C=sys.C + Hpp_bar, gp=sys.gp + gp_bar)
 
         # Equality path constraints: per-node AL residuals, exact Gauss-Newton
@@ -303,12 +334,22 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
             r_eq, jev, jep = jax.vmap(per_node)(
                 z.V, mult.path_eq, problem.node_times
             )
-            Hn_eq = einsum_hp("mei,mej->mij", jev, jev)
-            Bn_eq = einsum_hp("mei,meq->miq", jev, jep)
             Hpp_eq = einsum_hp("meq,mer->qr", jep, jep)
-            gn_eq = einsum_hp("mei,me->mi", jev, r_eq)
             gp_eq = einsum_hp("meq,me->q", jep, r_eq)
-            sys = _node_block_scatter(sys, Hn_eq, Bn_eq, gn_eq, d)
+            if soa:
+                sys = node_block_scatter_soa(
+                    sys,
+                    einsum_hp("mei,mej->ijm", jev, jev),
+                    einsum_hp("mei,meq->iqm", jev, jep),
+                    einsum_hp("mei,me->im", jev, r_eq), d,
+                )
+            else:
+                sys = _node_block_scatter(
+                    sys,
+                    einsum_hp("mei,mej->mij", jev, jev),
+                    einsum_hp("mei,meq->miq", jev, jep),
+                    einsum_hp("mei,me->mi", jev, r_eq), d,
+                )
             sys = sys._replace(C=sys.C + Hpp_eq, gp=sys.gp + gp_eq)
         return sys, gvals, jgv, jgp
 
@@ -351,18 +392,17 @@ def make_ocp_solver(problem, options: ALBarrierOptions = ALBarrierOptions()):
             gnorm = jnp.maximum(
                 jnp.max(jnp.abs(sys.gx)), jnp.max(jnp.abs(sys.gp), initial=0.0)
             )
-            diag = jnp.einsum("kii->ki", sys.D).ravel()
-            if sys.C.shape[0]:
-                diag = jnp.concatenate([diag, jnp.diag(sys.C)])
-            dmax = jnp.max(diag)
             if soa:
-                dx, dp = solve_kkt_soa(
-                    soa_from_blocks(sys), lam,
+                dx, dp, dmax = solve_kkt_soa(
+                    sys, lam,
                     dw=opt.method == "cr_dw", spike=opt.method == "spike",
+                    with_dmax=True,
                 )
                 dV = blocks_to_nodes_soa(dx, num_nodes, nv)
             else:
-                dx, dp = solve_kkt(sys, lam, opt.method)
+                dx, dp, dmax = solve_kkt(
+                    sys, lam, opt.method, with_dmax=True
+                )
                 dV = blocks_to_nodes(dx, num_nodes, nv)
             alpha = line_search_alpha(z, dV, dp, gvals, jgv, jgp)
             z_try = Decision(V=z.V + alpha * dV, p=z.p + alpha * dp)
