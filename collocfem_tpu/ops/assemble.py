@@ -348,7 +348,7 @@ class BlockTriSystemSoA(NamedTuple):
         return self.D.shape[0]
 
 
-def assemble_gn_soa(problem, z, data, with_cost: bool = False):
+def assemble_gn_soa(problem, z, data, with_cost: bool = False, v_lo=None):
     """SoA twin of :func:`assemble_gn` — the TPU hot-path assembly.
 
     Per-element jacfwd as in assemble_gn, but the normal-equation einsums
@@ -364,14 +364,30 @@ def assemble_gn_soa(problem, z, data, with_cost: bool = False):
     xe = problem.gather_elements(z.V)
     ed = problem._elem_data(data)
 
-    def per_elem(xe_flat, edata):
-        r = problem.elem_residual(xe_flat, z.p, edata)
-        jx, jp = jax.jacfwd(problem.elem_residual, argnums=(0, 1))(
-            xe_flat, z.p, edata
-        )
-        return r, jx, jp
+    if v_lo is None:
+        def per_elem(xe_flat, edata):
+            r = problem.elem_residual(xe_flat, z.p, edata)
+            jx, jp = jax.jacfwd(problem.elem_residual, argnums=(0, 1))(
+                xe_flat, z.p, edata
+            )
+            return r, jx, jp
 
-    r, jx, jp = jax.vmap(per_elem, in_axes=(0, 0))(xe, ed)
+        r, jx, jp = jax.vmap(per_elem, in_axes=(0, 0))(xe, ed)
+    else:
+        # Double-word state tier: residuals at the (hi, lo) state pair
+        # (problem.elem_residual_dw) — breaks the (2/h)-amplified f32
+        # state-storage floor on very fine meshes; the Jacobian stays at
+        # the hi word (all Gauss-Newton needs).
+        xe_lo = problem.gather_elements(v_lo)
+
+        def per_elem_dw(xe_flat, edata, xe_lo_flat):
+            r = problem.elem_residual_dw(xe_flat, z.p, edata, xe_lo_flat)
+            jx, jp = jax.jacfwd(
+                problem.elem_residual_dw, argnums=(0, 1)
+            )(xe_flat, z.p, edata, xe_lo_flat)
+            return r, jx, jp
+
+        r, jx, jp = jax.vmap(per_elem_dw, in_axes=(0, 0, 0))(xe, ed, xe_lo)
 
     # 2D-first construction (round-5 layout fix): every chain array is
     # built as (rows, K) — whose DEFAULT layout puts the chain on the
@@ -388,10 +404,33 @@ def assemble_gn_soa(problem, z, data, with_cost: bool = False):
     h12 = einsum_hp("emi,emj->ije", jx1, jx2)        # (bd, nv, N)
     b1 = einsum_hp("emi,emq->iqe", jx1, jp).reshape(bd * nq, n)
     b2 = einsum_hp("emi,emq->iqe", jx2, jp).reshape(nv * nq, n)
-    hpp = einsum_hp("emq,emr->qr", jp, jp)           # (nq, nq)
     g1 = einsum_hp("emi,em->ie", jx1, r)             # (bd, N)
     g2 = einsum_hp("emi,em->ie", jx2, r)             # (nv, N)
-    gpe = einsum_hp("emq,em->q", jp, r)              # (nq,)
+    if v_lo is not None and nq:
+        # The nq-sized global reductions (parameter Hessian corner and
+        # gradient) sum ~N*m float32 terms; their sqrt(n)*eps summation
+        # noise (~5e-5 relative at N=1e5) is the SAME size as the
+        # arrowhead Schur complement they later cancel against, turning
+        # parameter steps into noise — measured as the p-err ~4.9e-4
+        # plateau the DW state tier alone could not break at N=100k.
+        # Double-word accumulation brings them to ~eps relative (matching
+        # DW Schur contractions live in solve.kkt's dw tier).
+        from collocfem_tpu.ops import doubleword as dwm
+
+        jpf = jp.reshape(-1, nq)
+        rf = r.ravel()
+        hpp = jnp.stack([
+            jnp.stack([
+                dwm.to_single(dwm.dot(jpf[:, q], jpf[:, q2]))
+                for q2 in range(nq)
+            ]) for q in range(nq)
+        ])
+        gpe = jnp.stack([
+            dwm.to_single(dwm.dot(jpf[:, q], rf)) for q in range(nq)
+        ])
+    else:
+        hpp = einsum_hp("emq,emr->qr", jp, jp)       # (nq, nq)
+        gpe = einsum_hp("emq,em->q", jp, r)          # (nq,)
 
     dtype = z.V.dtype
     pad_cols = [(0, 0), (0, bd - nv), (0, 0)]

@@ -79,6 +79,54 @@ def defect_residual_all(model, diff, width, times, Xe, Ue, p, scale):
     return (xdot - fvals) * scale
 
 
+def element_derivative_dw(diff, width, Xe_hi, Xe_lo):
+    """Double-word collocation derivative: (2/h) D (Xe_hi + Xe_lo).
+
+    At fine widths the derivative operator amplifies STATE-STORAGE
+    roundoff by 2/h: a float32 node value carries ~eps·|x| absolute error,
+    so dx/dt inherits (2/h)·eps·|x| noise that no factorization precision
+    can remove — measured at N=100k (h=1e-4) as a converged-cost floor of
+    ~0.28 and a parameter-error floor of 4.9e-4 that plain-f32 AND
+    double-word-factorization ladders both hit identically.  Carrying a
+    low-order word for the state and contracting D against the pair in
+    error-free double-word arithmetic (Dekker two_prod + two_sum
+    accumulation) restores derivative accuracy to ~(2/h)·eps² and moves
+    the floor out of reach.  Returns a doubleword.DW of shape (d+1, n).
+    """
+    from collocfem_tpu.ops import doubleword as dw
+
+    # Exact left-value subtraction in DW (kills the O(|X|) constant mode
+    # BEFORE the contraction, same trick as element_derivative).
+    xd = dw.add(dw.DW(*dw.two_sum(Xe_hi, -Xe_hi[:1])),
+                dw.DW(*dw.two_sum(Xe_lo, -Xe_lo[:1])))
+    dcount = diff.shape[0]
+    acc = None
+    for j in range(dcount):
+        term = dw.add(
+            dw.DW(*dw.two_prod(diff[:, j:j + 1], xd.hi[j][None, :])),
+            dw.from_single(diff[:, j:j + 1] * xd.lo[j][None, :]),
+        )
+        acc = term if acc is None else dw.add(acc, term)
+    return dw.mul_single(acc, 2.0 / width)
+
+
+def defect_residual_dw(model, diff, width, times, Xe_hi, Xe_lo, Ue, p,
+                       scale):
+    """Double-word-state twin of :func:`defect_residual`.
+
+    The derivative term is evaluated over the (hi, lo) state pair; the
+    dynamics f are evaluated at the hi word (f has O(1) state sensitivity,
+    so sub-eps state corrections move f below float32 resolution — only
+    the 2/h-amplified difference operator needs the low word).
+    """
+    from collocfem_tpu.ops import doubleword as dw
+
+    xdot = element_derivative_dw(diff, width, Xe_hi, Xe_lo)
+    fvals = jax.vmap(model.f, in_axes=(0, 0, None, 0))(Xe_hi, Ue, p, times)
+    r = dw.to_single(dw.add_single(xdot, -fvals))
+    return r[1:, :] * scale
+
+
 def measurement_residual(model, rows, Xe, Ue_meas, p, times, y, w, mask):
     """Weighted output residuals for the measurements landing in one element.
 

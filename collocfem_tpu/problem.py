@@ -305,6 +305,36 @@ class EstimationProblem:
         )
         return jnp.concatenate([defect.ravel(), meas.ravel()])
 
+    def elem_residual_dw(self, xe_flat, p, ed: ElemData, xe_lo_flat):
+        """Double-word-state twin of :meth:`elem_residual`.
+
+        The defect's 2/h-amplified difference operator runs over the
+        (hi, lo) state pair (ops.residual.defect_residual_dw); dynamics,
+        measurements, and weights see the hi word only.  Argument order
+        keeps (xe_flat, p) first so the assembly's jacfwd(argnums=(0, 1))
+        applies unchanged — the Jacobian is taken at the hi word, which is
+        all Gauss-Newton needs (the LOW word only restores residual-value
+        accuracy).
+        """
+        if self.defect_rule == "full":
+            raise NotImplementedError(
+                "state_dw supports the interior defect rule only"
+            )
+        d, nx = self.mesh.degree, self.model.nx
+        xe = xe_flat.reshape(d + 1, self.nv)
+        xe_lo = xe_lo_flat.reshape(d + 1, self.nv)
+        x_nodes, u_nodes = xe[:, :nx], ed.u
+        defect = res_ops.defect_residual_dw(
+            self.model, self.diff, ed.width, ed.times, x_nodes,
+            xe_lo[:, :nx], u_nodes, p, ed.dscale,
+        )
+        u_meas = res_ops.interpolate_states(ed.rows, u_nodes)
+        meas = res_ops.measurement_residual(
+            self.model, ed.rows, x_nodes, u_meas, p, ed.mtimes, ed.y,
+            ed.meas_w, ed.mask,
+        )
+        return jnp.concatenate([defect.ravel(), meas.ravel()])
+
     def gather_elements(self, V: jnp.ndarray) -> jnp.ndarray:
         """(M, nv) node values -> (N, (d+1)*nv) per-element flats.
 

@@ -147,7 +147,7 @@ def level_schedule(options: SolverOptions, ns) -> list[SolverOptions]:
             )
         return list(options)
     return [
-        dataclasses.replace(options, method="cr_dw")
+        dataclasses.replace(options, method="cr_dw", state_dw=True)
         if n + 1 > CR_DW_CHAIN else options
         for n in ns
     ]

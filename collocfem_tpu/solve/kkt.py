@@ -231,8 +231,30 @@ def solve_kkt_soa(sys, lam, refine: int = 0, dw: bool = False,
     rhs = jnp.concatenate([s.gx[:, None, :], s.B], axis=1)  # (bd, 1+nq, K)
     x = apply_fn(rhs)
     a_g, a_b = x[:, 0, :], x[:, 1:, :]
-    schur = s.C - einsum_hp("bqk,brk->qr", s.B, a_b)
-    rp = s.gp - einsum_hp("bqk,bk->q", s.B, a_g)
+    if dw:
+        # The Schur complement C - B^T A^{-1} B cancels almost exactly on
+        # long chains (its value can be ~1e-4 of either operand); float32
+        # reduction noise over ~b*K terms then dominates the parameter
+        # block and parameter steps become noise.  The double-word tier
+        # accumulates these contractions in DW so the cancellation
+        # survives (assemble_gn_soa's DW nq-reductions are the matching
+        # assembly-side fix).
+        from collocfem_tpu.ops import doubleword as dwm
+
+        schur = s.C - jnp.stack([
+            jnp.stack([
+                dwm.to_single(dwm.dot(s.B[:, q, :].ravel(),
+                                      a_b[:, q2, :].ravel()))
+                for q2 in range(nq)
+            ]) for q in range(nq)
+        ])
+        rp = s.gp - jnp.stack([
+            dwm.to_single(dwm.dot(s.B[:, q, :].ravel(), a_g.ravel()))
+            for q in range(nq)
+        ])
+    else:
+        schur = s.C - einsum_hp("bqk,brk->qr", s.B, a_b)
+        rp = s.gp - einsum_hp("bqk,bk->q", s.B, a_g)
     dp = -_schur_solve(schur, rp)
     dx = -(a_g + einsum_hp("bqk,q->bk", a_b, dp))
     for _ in range(refine):

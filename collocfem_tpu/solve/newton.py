@@ -83,6 +83,13 @@ class SolverOptions:
     # assemble_newton) for quadratic local convergence on large-residual
     # fits.  The LM damping/rejection logic absorbs indefiniteness.
     hessian: str = "gn"      # 'gn' | 'newton'
+    # Carry a LOW-ORDER state word and evaluate residuals at the
+    # double-word state (the 2/h-amplified difference operator otherwise
+    # floors the achievable cost at the f32 state-STORAGE roundoff on very
+    # fine meshes — measured p-err floor 4.9e-4 at N=100k that neither
+    # factorization tier touches).  Pair with method='cr_dw' past the f32
+    # conditioning cliff.  GN/SoA path only.
+    state_dw: bool = False
 
 
 class SolveStats(NamedTuple):
@@ -184,6 +191,38 @@ def make_gn_solver(problem, options: SolverOptions = SolverOptions()):
 
             carry0 = ()
             c0 = problem.cost_dw(z0, data)
+        elif opt.state_dw:
+            if not soa:
+                raise ValueError("state_dw requires an SoA method "
+                                 "(spike/cr/cr_dw)")
+            from collocfem_tpu.ops import doubleword as dw
+
+            def trial_fn(z, carry, lam):
+                sys, v_lo = carry
+                dx_flat, dp, dV, gnorm, dmax = solve_step(sys, lam)
+                # Double-word state update: the step lands in (hi, lo)
+                # exactly, so sub-eps corrections accumulate instead of
+                # rounding away against |V|.
+                v_dw = dw.add(dw.DW(z.V, v_lo), dw.from_single(dV))
+                z_try = Decision(V=v_dw.hi, p=z.p + dp)
+                sys_try, ct = assemble_gn_soa(
+                    problem, z_try, data, with_cost=True, v_lo=v_dw.lo
+                )
+                gdot, snorm2 = fused_quadforms(
+                    gx_flat(sys), sys.gp, dx_flat, dp
+                )
+                aux = LMAux(
+                    gnorm=gnorm, gdot=gdot, sds=dmax * snorm2,
+                    step_norm=jnp.sqrt(snorm2),
+                    alpha=jnp.asarray(1.0, dV.dtype),
+                )
+                return z_try, (sys_try, v_dw.lo), ct, aux
+
+            v_lo0 = jnp.zeros_like(z0.V)
+            sys0, c0 = assemble_gn_soa(
+                problem, z0, data, with_cost=True, v_lo=v_lo0
+            )
+            carry0 = (sys0, v_lo0)
         else:
             assemble_c = assemble_gn_soa if soa else assemble_gn
 
