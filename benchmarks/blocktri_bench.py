@@ -25,8 +25,13 @@ import time
 import numpy as np
 
 
-def timeit_chained(solve, D, E, G, inner=50, reps=3):
-    """min over reps of (wall of `inner` chained solves) / inner."""
+def timeit_chained(solve, D, E, G, inner=400, reps=3):
+    """min over reps of (wall of `inner` chained solves) / inner.
+
+    ``inner`` must be LARGE: the per-call dispatch/RPC overhead through
+    the tunneled device is ~50 ms, so at inner=50 every solver shows a
+    ~1 ms floor regardless of content (round-4's 2.5 ms CR figure was
+    ~40% floor).  At inner=400 the floor is ~0.13 ms."""
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +61,7 @@ def main():
     ap.add_argument("--k", type=int, default=16384)
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--r", type=int, default=3)
-    ap.add_argument("--inner", type=int, default=50)
+    ap.add_argument("--inner", type=int, default=400)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--with-scan", action="store_true",
                     help="include the O(K)-depth Thomas scan (slow at big K)")

