@@ -39,7 +39,21 @@ def vdp_setup():
     return prob, mesh, t_meas, y, u_nodes, traj
 
 
-def solve_with(prob, mesh, t_meas, y, u_nodes, method, noise=0.0, seed=0):
+@pytest.fixture(scope="module")
+def cr_solver(vdp_setup):
+    """ONE compiled production-path solver for the whole module: the
+    suite wall is solver-loop compiles, and ``data``/``z0`` are runtime
+    arguments — noiseless, noisy, and divergence tests all reuse this
+    single program (round-4 verdict item 3)."""
+    from collocfem_tpu.solve.newton import make_gn_solver
+
+    prob = vdp_setup[0]
+    return make_gn_solver(prob, SolverOptions(maxiter=60, gtol=1e-9,
+                                              method="cr"))
+
+
+def solve_with(prob, mesh, t_meas, y, u_nodes, method, noise=0.0, seed=0,
+               solver=None):
     rng = np.random.default_rng(seed)
     y_noisy = y + noise * rng.standard_normal(y.shape)
     data = prob.pack_data(
@@ -47,6 +61,8 @@ def solve_with(prob, mesh, t_meas, y, u_nodes, method, noise=0.0, seed=0):
         p_prior=[1.0, 1.0], p_weight=1e-3,
     )
     z0 = prob.initial_guess_from_data(t_meas, y_noisy, p0=[2.0, 0.3])
+    if solver is not None:
+        return solver(z0, data)
     opts = SolverOptions(maxiter=60, gtol=1e-9, method=method)
     z, stats = gauss_newton(prob, z0, data, opts)
     return z, stats
@@ -62,9 +78,10 @@ def solve_with(prob, mesh, t_meas, y, u_nodes, method, noise=0.0, seed=0):
         "cr",
     ],
 )
-def test_vdp_estimation_noiseless(vdp_setup, method):
+def test_vdp_estimation_noiseless(vdp_setup, cr_solver, method):
     prob, mesh, t_meas, y, u_nodes, traj = vdp_setup
-    z, stats = solve_with(prob, mesh, t_meas, y, u_nodes, method)
+    z, stats = solve_with(prob, mesh, t_meas, y, u_nodes, method,
+                          solver=cr_solver if method == "cr" else None)
     assert bool(stats.converged)
     p = np.asarray(z.p)
     assert abs(p[0] - MU_TRUE) < 1e-4, p
@@ -75,9 +92,10 @@ def test_vdp_estimation_noiseless(vdp_setup, method):
     assert err < 2e-3, err  # discretization-level (soft defects, N=40, d=4)
 
 
-def test_vdp_estimation_noisy(vdp_setup):
+def test_vdp_estimation_noisy(vdp_setup, cr_solver):
     prob, mesh, t_meas, y, u_nodes, traj = vdp_setup
-    z, stats = solve_with(prob, mesh, t_meas, y, u_nodes, "cr", noise=0.02, seed=1)
+    z, stats = solve_with(prob, mesh, t_meas, y, u_nodes, "cr", noise=0.02,
+                          seed=1, solver=cr_solver)
     p = np.asarray(z.p)
     assert abs(p[0] - MU_TRUE) < 0.05
     assert abs(p[1] - B_TRUE) < 0.05
@@ -92,19 +110,18 @@ def test_methods_agree(vdp_setup):
     np.testing.assert_allclose(np.asarray(z_a.p), np.asarray(z_b.p), atol=1e-7)
 
 
-def test_divergence_is_graceful():
-    """Garbage guess: solver must not NaN out (damping absorbs bad steps)."""
-    model = VanDerPol()
-    mesh = uniform_mesh(0.0, 5.0, num_elements=10, degree=3)
-    t_meas = np.linspace(0.1, 4.9, 30)
-    prob = EstimationProblem.build(model, mesh, t_meas, defect_weight=10.0)
+def test_divergence_is_graceful(vdp_setup, cr_solver):
+    """Garbage guess: solver must not NaN out (damping absorbs bad
+    steps).  Reuses the module's compiled solver — garbage data/state is
+    a runtime input, not a new program."""
+    prob, mesh, t_meas, y, u_nodes, _ = vdp_setup
     rng = np.random.default_rng(0)
-    data = prob.pack_data(rng.standard_normal((30, 1)), t_meas,
-                          u_nodes=np.zeros((10, 4, 1)),
+    data = prob.pack_data(rng.standard_normal(y.shape), t_meas,
+                          u_nodes=u_nodes,
                           p_prior=[1.0, 1.0], p_weight=1e-2)
     from collocfem_tpu.problem import Decision
     z0 = Decision(V=jnp.asarray(1e3 * rng.standard_normal((mesh.num_nodes, 2))),
                   p=jnp.asarray([50.0, -30.0]))
-    z, stats = gauss_newton(prob, z0, data, SolverOptions(maxiter=25))
+    z, stats = cr_solver(z0, data)
     assert np.isfinite(np.asarray(z.V)).all()
     assert np.isfinite(float(stats.cost))

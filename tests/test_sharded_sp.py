@@ -39,7 +39,10 @@ def setup():
     return prob, z0, data
 
 
-@pytest.mark.parametrize("sp", [4, 8])
+@pytest.mark.parametrize(
+    "sp",
+    [pytest.param(4, marks=pytest.mark.slow), 8],  # one device-count fast
+)
 def test_sp_sharded_matches_single_device(setup, eight_devices, sp):
     prob, z0, data = setup
     opts = SolverOptions(maxiter=30, gtol=1e-9, xtol=1e-12)

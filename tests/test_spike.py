@@ -28,6 +28,8 @@ def test_spike_matches_dense(eight_devices, k, b, r):
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow  # edge-geometry twin; the fast tier keeps the
+# (16,4,3) dense match and the 2-D dp x sp mesh case
 def test_spike_two_blocks_per_shard(eight_devices):
     mesh = make_device_mesh(dp=1, sp=8, devices=eight_devices)
     d_np, e_np, g_np = random_spd_blocktri(16, 5, 2, seed=3)
