@@ -115,7 +115,11 @@ def test_sp_sharded_converges_at_scale_f32(eight_devices):
     z0 = prob.initial_guess_from_data(t_meas, y, p0=[0.5, 0.5])
 
     dev_mesh = make_device_mesh(dp=1, sp=8, devices=eight_devices)
-    opts = SolverOptions(maxiter=40, gtol=0.0, lam0=1e-6)
+    # 120-iteration budget with the λ-rail exit: the f32 progress rate to
+    # the rail is environment-sensitive (measured 101 iterations on this
+    # box's XLA:CPU where an earlier environment railed within 40; the
+    # converged estimate is the same ~5.6e-4 f32-floor either way).
+    opts = SolverOptions(maxiter=120, gtol=0.0, lam0=1e-6)
     z, stats = make_sp_gn_solver(prob, dev_mesh, opts)(z0, data)
 
     p = np.asarray(z.p, dtype=np.float64)
